@@ -1,0 +1,552 @@
+"""Autoregressive TTS generation: `generate_frame`, `generate`, `stream_generate`.
+
+Capability parity with `/root/reference/csm_mlx/generation.py:21-258`, engineered
+for XLA's trace-once model instead of MLX's lazy eager mode:
+
+- The reference runs a Python frame loop with dynamically growing KV caches
+  and a 31-iteration Python decoder loop per frame. Here the *entire*
+  generation — prefill, per-frame backbone step, the 31-step decoder inner
+  loop (`lax.scan`), sampling, EOS detection — is one compiled XLA program
+  driven by `lax.while_loop`. Zero host/device round-trips until the final
+  token buffer is read.
+- Prompts are left-padded to a small set of bucket lengths so each bucket
+  compiles exactly once; the KV cache is static (`ops/kv_cache.py`) with
+  capacity `bucket + max_frames`.
+- EOS is the reference's all-zero frame rule (generation.py:151-152); the
+  context-window guard reproduces generation.py:131-137.
+- Sampling follows the documented surface: a pluggable `sampler=` plus
+  `logits_processors=` with c0-history carry (see ops/sampling.py). Passing
+  only `temperature=` reproduces the reference's temperature-categorical
+  (generation.py:51-54) / argmax-at-0 behavior.
+
+`stream_generate` keeps the same compiled frame step but yields one 80 ms
+audio chunk per frame through Mimi's incremental decoder, dispatching frame
+k+1 before chunk k is synced to the host (dispatch-ahead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Generator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csm_mlx_tpu.config import LlamaConfig
+from csm_mlx_tpu.models.csm import CSM, ModelArgs, embed_audio, masked_input_embeds
+from csm_mlx_tpu.models.llama import llama_forward
+from csm_mlx_tpu.ops.attention import NEG_INF, causal_mask_bias
+from csm_mlx_tpu.ops.kv_cache import KVCache
+from csm_mlx_tpu.ops.layers import linear
+from csm_mlx_tpu.ops.rope import rope_cache_for
+from csm_mlx_tpu.ops.sampling import SamplerConfig, apply_processors
+
+PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+HISTORY_SIZE = 64  # c0 repetition-penalty window carry (>= mlx_lm's 20)
+FRAME_MS = 80  # one RVQ frame = 80 ms (generation.py:106)
+
+
+def _dtype_name(dtype) -> str:
+    return np.dtype(dtype).name if not isinstance(dtype, str) else dtype
+
+
+def prompt_bucket(length: int) -> int:
+    for b in PROMPT_BUCKETS:
+        if length <= b:
+            return b
+    return length  # beyond the largest bucket: compile exactly for it
+
+
+# ---------------------------------------------------------------------------
+# Traced building blocks (called inside jit only)
+# ---------------------------------------------------------------------------
+
+
+def _prefill(
+    params, args: ModelArgs, tokens, token_mask, pad_len, cache: KVCache, cos_b, sin_b
+):
+    """Full-prompt backbone forward; returns (last_hidden (B, D), cache)."""
+    bcfg = args.backbone_config
+    b, p, _ = tokens.shape
+    embeds = masked_input_embeds(params, args, tokens, token_mask)
+    pad_len = jnp.reshape(pad_len, (-1,))  # (B,)
+    positions = jnp.arange(p, dtype=jnp.int32)[None, :] - pad_len[:, None]  # (B, P)
+    cap = cache.capacity if cache is not None else p
+    # Keys span the whole cache capacity; causal over the first P slots,
+    # everything beyond the prompt (unwritten) and left-pad slots masked.
+    causal = causal_mask_bias(p, cap)
+    key_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] >= pad_len[:, None]
+    valid_bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
+    mask_bias = jnp.maximum(
+        causal[None, None] + valid_bias[:, None, None, :], NEG_INF
+    )
+    hidden, cache = llama_forward(
+        params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias, cache
+    )
+    return hidden[:, -1, :], cache
+
+
+def _backbone_step(
+    params, args: ModelArgs, tokens, token_mask, pad_len, cache: KVCache, cos_b, sin_b
+):
+    """One-frame backbone decode step. tokens: (B, 1, 33)."""
+    bcfg = args.backbone_config
+    capacity = cache.capacity
+    embeds = masked_input_embeds(params, args, tokens, token_mask)
+    positions = (cache.index - pad_len).reshape(-1, 1).astype(jnp.int32)
+    k_idx = jnp.arange(capacity, dtype=jnp.int32)
+    key_valid = (k_idx[None] >= jnp.reshape(pad_len, (-1, 1))) & (
+        k_idx[None] <= cache.index
+    )
+    mask_bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+    hidden, cache = llama_forward(
+        params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias, cache
+    )
+    return hidden[:, -1, :], cache
+
+
+def _decode_frame(
+    params,
+    args: ModelArgs,
+    last_hidden,
+    key,
+    history,
+    sampler: SamplerConfig,
+    processors: Tuple,
+    cos_d,
+    sin_d,
+):
+    """Sample all 32 codebooks for one frame from the backbone hidden state.
+
+    Reproduces generation.py:42-90: c0 from `codebook0_head` (with the
+    logits-processor chain over c0 history), then a fresh 33-slot decoder
+    cache primed with [backbone_hidden, c0_embed], then 30 more single-token
+    decoder steps scoring against `audio_head[i-1]`.
+    """
+    dcfg = args.decoder_config
+    b = last_hidden.shape[0]
+    n_cb = args.n_audio_codebooks
+    audio_head = params["audio_head"]
+
+    # --- codebook 0 ----------------------------------------------------
+    c0_logits = linear(params["codebook0_head"], last_hidden).astype(jnp.float32)
+    c0_logits = apply_processors(processors, history, c0_logits)
+    key, k0 = jax.random.split(key)
+    c0 = sampler(k0, c0_logits)
+    history = jnp.roll(history, -1, axis=-1).at[:, -1].set(c0)
+
+    # --- decoder prime: [h, embed(c0)] ----------------------------------
+    dcache = KVCache.init(dcfg, b, n_cb + 1, dtype=last_hidden.dtype)
+    c0_emb = embed_audio(params, args, 0, c0).astype(last_hidden.dtype)
+    x01 = jnp.stack([last_hidden, c0_emb], axis=1)  # (B, 2, D_backbone)
+    proj01 = linear(params["projection"], x01)
+    cap = n_cb + 1
+    k_idx = jnp.arange(cap, dtype=jnp.int32)
+
+    def dec_bias(q_len, index):
+        causal = causal_mask_bias(q_len, cap, q_offset=index)
+        return causal[None, None]
+
+    hidden01, dcache = llama_forward(
+        params["decoder"], dcfg, proj01, cos_d, sin_d,
+        jnp.arange(2, dtype=jnp.int32)[None], dec_bias(2, 0), dcache,
+    )
+    key, k1 = jax.random.split(key)
+    c1_logits = jnp.einsum(
+        "bd,dv->bv", hidden01[:, -1].astype(jnp.float32),
+        audio_head[0].astype(jnp.float32),
+    )
+    c1 = sampler(k1, c1_logits)
+
+    # --- codebooks 2..31: lax.scan over single-token decoder steps ------
+    def body(carry, i):
+        dcache, key, prev = carry
+        emb = params["audio_embeddings"]["weight"][
+            prev + (i - 1) * args.n_audio_vocab
+        ].astype(last_hidden.dtype)
+        x = linear(params["projection"], emb[:, None, :])
+        positions = dcache.index.reshape(1, 1)
+        hidden, dcache = llama_forward(
+            params["decoder"], dcfg, x, cos_d, sin_d, positions,
+            dec_bias(1, dcache.index), dcache,
+        )
+        logits = jnp.einsum(
+            "bd,dv->bv", hidden[:, 0].astype(jnp.float32),
+            audio_head[i - 1].astype(jnp.float32),
+        )
+        key, kk = jax.random.split(key)
+        ci = sampler(kk, logits)
+        return (dcache, key, ci), ci
+
+    (dcache, key, _), rest = jax.lax.scan(
+        body, (dcache, key, c1), jnp.arange(2, n_cb, dtype=jnp.int32)
+    )
+    frame = jnp.concatenate(
+        [c0[:, None], c1[:, None], rest.transpose(1, 0)], axis=1
+    ).astype(jnp.int32)  # (B, 32)
+    return frame, key, history
+
+
+def _frame_to_next_input(frame):
+    """Feed a sampled frame back as the next (B,1,33) input + mask
+    (generation.py:156-161): audio slots = frame, text slot = 0/unmasked."""
+    b = frame.shape[0]
+    zeros = jnp.zeros((b, 1), dtype=frame.dtype)
+    tokens = jnp.concatenate([frame, zeros], axis=1)[:, None, :]
+    mask = jnp.concatenate(
+        [jnp.ones_like(frame), zeros], axis=1
+    )[:, None, :].astype(jnp.int32)
+    return tokens, mask
+
+
+# ---------------------------------------------------------------------------
+# Compiled entry points (cached per static configuration)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _build_generate_tokens(
+    args: ModelArgs,
+    sampler: SamplerConfig,
+    processors: Tuple,
+    bucket: int,
+    max_frames: int,
+    cache_dtype: str,
+):
+    bcfg = args.backbone_config
+    dcfg = args.decoder_config
+    capacity = bucket + max_frames
+    cos_b, sin_b = rope_cache_for(bcfg, max(capacity, bcfg.max_position_embeddings))
+    cos_d, sin_d = rope_cache_for(dcfg, args.n_audio_codebooks + 1)
+    dtype = jnp.dtype(cache_dtype)
+
+    def gen(params, tokens, token_mask, pad_len, key):
+        b = tokens.shape[0]
+        cache = KVCache.init(bcfg, b, capacity, dtype=dtype)
+        last_hidden, cache = _prefill(
+            params, args, tokens, token_mask, pad_len, cache, cos_b, sin_b
+        )
+        history = jnp.full((b, HISTORY_SIZE), -1, dtype=jnp.int32)
+        frames = jnp.zeros((max_frames, b, args.n_audio_codebooks), dtype=jnp.int32)
+
+        state = dict(
+            i=jnp.zeros((), jnp.int32),
+            n_frames=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), jnp.bool_),
+            frames=frames,
+            last_hidden=last_hidden,
+            cache=cache,
+            key=key,
+            history=history,
+        )
+
+        def cond(st):
+            return (~st["done"]) & (st["i"] < max_frames)
+
+        def body(st):
+            frame, key, history = _decode_frame(
+                params, args, st["last_hidden"], st["key"], st["history"],
+                sampler, processors, cos_d, sin_d,
+            )
+            done_now = jnp.all(frame == 0)  # EOS (generation.py:151-152)
+            frames = jax.lax.dynamic_update_slice(
+                st["frames"], frame[None], (st["i"], 0, 0)
+            )
+            new_i = st["i"] + 1
+            n_frames = jnp.where(done_now, st["n_frames"], new_i)
+            do_next = (~done_now) & (new_i < max_frames)
+
+            def step(_):
+                nxt_tokens, nxt_mask = _frame_to_next_input(frame)
+                return _backbone_step(
+                    params, args, nxt_tokens, nxt_mask, pad_len, st["cache"],
+                    cos_b, sin_b,
+                )
+
+            def skip(_):
+                return st["last_hidden"], st["cache"]
+
+            last_hidden, cache = jax.lax.cond(do_next, step, skip, None)
+            return dict(
+                i=new_i, n_frames=n_frames, done=done_now, frames=frames,
+                last_hidden=last_hidden, cache=cache, key=key, history=history,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final["frames"], final["n_frames"]
+
+    return jax.jit(gen)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_stream_fns(
+    args: ModelArgs,
+    sampler: SamplerConfig,
+    processors: Tuple,
+    bucket: int,
+    max_frames: int,
+    cache_dtype: str,
+):
+    """(first_frame_fn, next_frame_fn) for streaming generation."""
+    bcfg = args.backbone_config
+    dcfg = args.decoder_config
+    capacity = bucket + max_frames
+    cos_b, sin_b = rope_cache_for(bcfg, max(capacity, bcfg.max_position_embeddings))
+    cos_d, sin_d = rope_cache_for(dcfg, args.n_audio_codebooks + 1)
+    dtype = jnp.dtype(cache_dtype)
+
+    def first(params, tokens, token_mask, pad_len, key):
+        b = tokens.shape[0]
+        cache = KVCache.init(bcfg, b, capacity, dtype=dtype)
+        last_hidden, cache = _prefill(
+            params, args, tokens, token_mask, pad_len, cache, cos_b, sin_b
+        )
+        history = jnp.full((b, HISTORY_SIZE), -1, dtype=jnp.int32)
+        frame, key, history = _decode_frame(
+            params, args, last_hidden, key, history, sampler, processors,
+            cos_d, sin_d,
+        )
+        return frame, cache, key, history
+
+    def step(params, frame, pad_len, cache, key, history):
+        tokens, mask = _frame_to_next_input(frame)
+        last_hidden, cache = _backbone_step(
+            params, args, tokens, mask, pad_len, cache, cos_b, sin_b
+        )
+        frame, key, history = _decode_frame(
+            params, args, last_hidden, key, history, sampler, processors,
+            cos_d, sin_d,
+        )
+        return frame, cache, key, history
+
+    return (
+        jax.jit(first),
+        jax.jit(step, donate_argnums=(3, 5)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prompt assembly helpers (host side)
+# ---------------------------------------------------------------------------
+
+
+def _assemble_prompt(model: CSM, text: str, speaker: int, context: Sequence) -> tuple:
+    from csm_mlx_tpu.tokenizers import tokenize_segment, tokenize_text_segment
+
+    tokens, masks = [], []
+    for segment in context:
+        t, m = tokenize_segment(segment, n_audio_codebooks=model.n_audio_codebooks)
+        tokens.append(np.asarray(t))
+        masks.append(np.asarray(m))
+    t, m = tokenize_text_segment(text, speaker)
+    tokens.append(np.asarray(t))
+    masks.append(np.asarray(m))
+    prompt = np.concatenate(tokens, axis=0).astype(np.int32)
+    mask = np.concatenate(masks, axis=0).astype(np.int32)
+    return prompt, mask
+
+
+def _pad_prompt(prompt: np.ndarray, mask: np.ndarray) -> tuple:
+    """Left-pad to the bucket size; returns (tokens(1,P,33), mask, pad_len)."""
+    s = prompt.shape[0]
+    bucket = prompt_bucket(s)
+    pad = bucket - s
+    tokens = np.zeros((1, bucket, prompt.shape[1]), dtype=np.int32)
+    m = np.zeros((1, bucket, prompt.shape[1]), dtype=np.int32)
+    tokens[0, pad:] = prompt
+    m[0, pad:] = mask
+    return tokens, m, np.asarray([pad], dtype=np.int32), bucket
+
+
+def _check_context_window(args: ModelArgs, prompt_len: int, max_frames: int) -> None:
+    context_window = args.backbone_config.max_position_embeddings or 2048
+    max_seq_len = context_window - max_frames
+    if prompt_len >= max_seq_len:
+        raise ValueError(
+            f"Inputs too long ({prompt_len}), must be below max_seq_len - "
+            f"max_audio_frames: {max_seq_len}"
+        )
+
+
+def _resolve_sampler(
+    temperature: float, sampler: Optional[Any]
+) -> SamplerConfig:
+    if sampler is None:
+        return SamplerConfig(temperature=temperature)
+    if isinstance(sampler, SamplerConfig):
+        return sampler
+    return sampler  # user-provided jittable callable (must be hashable)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def generate_frame(
+    model: CSM,
+    tokens: jax.Array,
+    *,
+    temperature: float = 0.8,
+    token_mask: Optional[jax.Array] = None,
+    sampler: Optional[Any] = None,
+    logits_processors: Optional[Sequence] = None,
+    cache: Optional[KVCache] = None,
+    pad_len: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    history: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generate one 32-codebook frame (API parity with generation.py:21-92).
+
+    This is the un-fused convenience path (one jit per call shape); `generate`
+    / `stream_generate` use the fully fused compiled loop instead.
+    """
+    args = model.args
+    smp = _resolve_sampler(temperature, sampler)
+    processors = tuple(logits_processors or ())
+    if token_mask is None:
+        token_mask = jnp.ones_like(tokens)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if history is None:
+        history = jnp.full((tokens.shape[0], HISTORY_SIZE), -1, dtype=jnp.int32)
+    bcfg = args.backbone_config
+    s = tokens.shape[1]
+    if cache is None:
+        cache = KVCache.init(bcfg, tokens.shape[0], s, dtype=model.dtype)
+    if pad_len is None:
+        pad_len = jnp.zeros((tokens.shape[0],), dtype=jnp.int32)
+
+    cos_b, sin_b = rope_cache_for(bcfg, cache.capacity + 1)
+    cos_d, sin_d = rope_cache_for(args.decoder_config, args.n_audio_codebooks + 1)
+
+    if s > 1:
+        last_hidden, cache = _prefill(
+            model.params, args, tokens, token_mask, pad_len, cache, cos_b, sin_b
+        )
+    else:
+        last_hidden, cache = _backbone_step(
+            model.params, args, tokens, token_mask, pad_len, cache, cos_b, sin_b
+        )
+    frame, key, history = _decode_frame(
+        model.params, args, last_hidden, key, history, smp, processors, cos_d, sin_d
+    )
+    return frame
+
+
+def generate_tokens(
+    model: CSM,
+    prompt: np.ndarray,
+    prompt_mask: np.ndarray,
+    max_audio_frames: int,
+    *,
+    temperature: float = 0.8,
+    sampler: Optional[Any] = None,
+    logits_processors: Optional[Sequence] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[np.ndarray, int]:
+    """Run the fused generation loop; returns (frames (F, 32) int32, F)."""
+    args = model.args
+    _check_context_window(args, prompt.shape[0], max_audio_frames)
+    smp = _resolve_sampler(temperature, sampler)
+    processors = tuple(logits_processors or ())
+    tokens, mask, pad_len, bucket = _pad_prompt(prompt, prompt_mask)
+    fn = _build_generate_tokens(
+        args, smp, processors, bucket, max_audio_frames, _dtype_name(model.dtype)
+    )
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+    frames, n = jax.device_get(
+        fn(model.params, jnp.asarray(tokens), jnp.asarray(mask),
+           jnp.asarray(pad_len), key)
+    )
+    n = int(n)
+    return frames[:n, 0, :], n
+
+
+def generate(
+    model: CSM,
+    text: str,
+    speaker: int,
+    context: Sequence = (),
+    max_audio_length_ms: float = 90_000,
+    *,
+    temperature: float = 0.8,
+    sampler: Optional[Any] = None,
+    logits_processors: Optional[Sequence] = None,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Text (+ conversational context) -> 24 kHz waveform (generation.py:95-178)."""
+    from csm_mlx_tpu.tokenizers import decode_audio
+
+    max_frames = int(max_audio_length_ms / FRAME_MS)
+    prompt, mask = _assemble_prompt(model, text, speaker, context)
+    frames, n = generate_tokens(
+        model, prompt, mask, max_frames,
+        temperature=temperature, sampler=sampler,
+        logits_processors=logits_processors, key=key,
+    )
+    if n == 0:
+        print("[WARN] No samples generated.")
+        return jnp.zeros((0,), dtype=jnp.float32)
+    # (F, 32) -> (1, K, F) for Mimi decode.
+    codes = jnp.asarray(frames.T[None], dtype=jnp.int32)
+    audio = decode_audio(codes, n_audio_codebooks=model.n_audio_codebooks)
+    return audio[0, 0]
+
+
+def stream_generate(
+    model: CSM,
+    text: str,
+    speaker: int,
+    context: Sequence = (),
+    max_audio_length_ms: float = 90_000,
+    *,
+    temperature: float = 0.8,
+    sampler: Optional[Any] = None,
+    logits_processors: Optional[Sequence] = None,
+    key: Optional[jax.Array] = None,
+) -> Generator[jax.Array, None, None]:
+    """Yield one 1,920-sample (80 ms @ 24 kHz) chunk per generated frame
+    (generation.py:181-258), overlapping device compute with host yields."""
+    from csm_mlx_tpu.tokenizers import get_audio_tokenizer
+
+    args = model.args
+    max_frames = int(max_audio_length_ms / FRAME_MS)
+    prompt, prompt_mask = _assemble_prompt(model, text, speaker, context)
+    _check_context_window(args, prompt.shape[0], max_frames)
+    smp = _resolve_sampler(temperature, sampler)
+    processors = tuple(logits_processors or ())
+    tokens, mask, pad_len, bucket = _pad_prompt(prompt, prompt_mask)
+    first_fn, step_fn = _build_stream_fns(
+        args, smp, processors, bucket, max_frames, _dtype_name(model.dtype)
+    )
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+
+    codec = get_audio_tokenizer(n_audio_codebooks=model.n_audio_codebooks)
+    dec_state = codec.init_decode_state()
+
+    frame, cache, key, history = first_fn(
+        model.params, jnp.asarray(tokens), jnp.asarray(mask),
+        jnp.asarray(pad_len), key,
+    )
+    for i in range(max_frames):
+        host_frame = np.asarray(frame)
+        if not host_frame.any():
+            break  # EOS
+        # Dispatch the next frame before decoding/yielding the current one.
+        if i + 1 < max_frames:
+            next_frame, cache, key, history = step_fn(
+                model.params, frame, jnp.asarray(pad_len), cache, key, history
+            )
+        else:
+            next_frame = None
+        codes = jnp.asarray(host_frame.T[None], dtype=jnp.int32)  # (1, K, 1)
+        chunk, dec_state = codec.decode_step(codes, dec_state)
+        yield chunk[0, 0]
+        if next_frame is None:
+            break
+        frame = next_frame

@@ -1,0 +1,149 @@
+"""Functional Llama transformer stack (embedding-less, CSM-style).
+
+The reference builds `mlx_lm.models.llama.LlamaModel` and patches
+`embed_tokens` to Identity and every layer's attention to a torchtune-parity
+module (`/root/reference/csm_mlx/models.py:50-77`). Here the stack is a pure
+function over a parameter pytree whose keys mirror the reference checkpoint:
+
+  layers.{i}.self_attn.{q,k,v,o}_proj.weight
+  layers.{i}.mlp.{gate,up,down}_proj.weight
+  layers.{i}.{input,post_attention}_layernorm.weight
+  norm.weight
+
+represented as nested dicts: params["layers"][i]["self_attn"]["q_proj"]...
+
+Forward always consumes *embeddings* (B, S, D) — CSM computes the fused
+text+audio embedding externally (`models.py:82-92`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from csm_mlx_tpu.config import LlamaConfig
+from csm_mlx_tpu.ops.attention import sdpa
+from csm_mlx_tpu.ops.kv_cache import KVCache
+from csm_mlx_tpu.ops.layers import linear, rms_norm, swiglu_mlp
+from csm_mlx_tpu.ops.rope import apply_rope
+
+Params = Dict[str, Any]
+
+
+def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    """Random init (normal / sqrt(fan_in)); layout identical to checkpoints."""
+    d = cfg.hidden_size
+    attn_dim = cfg.attn_dim
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    f = cfg.intermediate_size
+
+    def dense(key, out_dim, in_dim):
+        return {
+            "weight": (
+                jax.random.normal(key, (out_dim, in_dim), dtype=jnp.float32)
+                * (in_dim ** -0.5)
+            ).astype(dtype)
+        }
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        keys = jax.random.split(jax.random.fold_in(key, i), 7)
+        layers.append(
+            {
+                "self_attn": {
+                    "q_proj": dense(keys[0], attn_dim, d),
+                    "k_proj": dense(keys[1], kv_dim, d),
+                    "v_proj": dense(keys[2], kv_dim, d),
+                    "o_proj": dense(keys[3], d, attn_dim),
+                },
+                "mlp": {
+                    "gate_proj": dense(keys[4], f, d),
+                    "up_proj": dense(keys[5], f, d),
+                    "down_proj": dense(keys[6], d, f),
+                },
+                "input_layernorm": {"weight": jnp.ones((d,), dtype=dtype)},
+                "post_attention_layernorm": {"weight": jnp.ones((d,), dtype=dtype)},
+            }
+        )
+    return {"layers": layers, "norm": {"weight": jnp.ones((d,), dtype=dtype)}}
+
+
+def _attn_layer(
+    p: Params,
+    cfg: LlamaConfig,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    positions: jax.Array,
+    mask_bias: Optional[jax.Array],
+    cache: Optional[KVCache],
+    layer_idx: int,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    b, s, _ = x.shape
+    q = linear(p["q_proj"], x).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+    k = linear(p["k_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    v = linear(p["v_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+
+    q = apply_rope(q, cos, sin, positions)
+    k = apply_rope(k, cos, sin, positions)
+
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    if cache is not None:
+        cache, k, v = cache.update_layer(layer_idx, k, v)
+
+    out = sdpa(q, k, v, scale=cfg.head_dim ** -0.5, mask_bias=mask_bias)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    return linear(p["o_proj"], out), cache
+
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    embeds: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    positions: jax.Array,
+    mask_bias: Optional[jax.Array] = None,
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the stack.
+
+    Args:
+      embeds: (B, S, D) input embeddings.
+      positions: (B, S) or (S,) RoPE positions for the new tokens.
+      mask_bias: additive fp32 attention bias, broadcastable to
+        (B, 1, S, S_k) where S_k is S (no cache) or cache capacity.
+      cache: optional static KVCache; when given, K/V are appended at
+        cache.index and attention runs over the whole capacity (caller masks
+        invalid slots). The advanced cache is returned.
+      remat: wrap each layer in jax.checkpoint (training memory saver).
+
+    Returns (hidden (B, S, D), cache').
+    """
+
+    def one_layer(x, cache, lp, idx):
+        attn_out, cache = _attn_layer(
+            lp["self_attn"], cfg, rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps),
+            cos, sin, positions, mask_bias, cache, idx,
+        )
+        x = x + attn_out
+        h = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        x = x + swiglu_mlp(lp["mlp"], h)
+        return x, cache
+
+    if remat:
+        one_layer = jax.checkpoint(one_layer, static_argnums=(3,))
+
+    x = embeds
+    for idx, lp in enumerate(params["layers"]):
+        x, cache = one_layer(x, cache, lp, idx)
+
+    if cache is not None:
+        cache = cache.advance(embeds.shape[1])
+    return rms_norm(params["norm"], x, cfg.rms_norm_eps), cache

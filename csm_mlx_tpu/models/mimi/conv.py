@@ -1,0 +1,230 @@
+"""Causal streaming 1-D convolutions for the Mimi/SEANet codec.
+
+The reference consumes these from `moshi_mlx` (Metal kernels behind
+`csm_mlx/tokenizers.py:14-21`); here they are JAX convs with explicit
+streaming state so `decode_step` (`/root/reference/csm_mlx/generation.py:249-256`)
+can emit one 80 ms chunk per frame with bit-identical results to the batch
+path.
+
+Conventions
+- Arrays are channel-first: (B, C, T), matching the codec weight layout
+  (out, in, kernel) from the moshi/torch checkpoints.
+- A *causal* conv pads `(kernel-1)*dilation - (stride-1)` zeros on the left
+  at t=0; in streaming mode that left context is carried between calls.
+- A causal transposed conv produces `T*stride` samples per `T` inputs; the
+  trailing `kernel - stride` outputs overlap the next chunk and are carried
+  as a partial sum (trim_right_ratio=1.0 semantics).
+
+XLA lowers `lax.conv_general_dilated` to the TPU conv/MXU path; the
+streaming step sizes (T=1 or 2 frames) are static so everything jits once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jax.Array]
+
+
+def conv1d(
+    params: Params,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """Plain (non-causal, 'valid') conv. x: (B, C_in, T); w: (C_out, C_in/g, K)."""
+    w = params["weight"].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    if "bias" in params:
+        out = out + params["bias"].astype(out.dtype)[None, :, None]
+    return out
+
+
+def causal_pad_amount(kernel: int, stride: int, dilation: int) -> int:
+    """Left padding so output length == ceil(T/stride) with no lookahead."""
+    return (kernel - 1) * dilation - (stride - 1)
+
+
+def causal_conv1d(
+    params: Params,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    pad = causal_pad_amount(params["weight"].shape[-1], stride, dilation)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, 0)))
+    return conv1d(params, x, stride=stride, dilation=dilation, groups=groups)
+
+
+def conv_transpose1d(
+    params: Params,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """Full transposed conv; x: (B, C_in, T) -> (B, C_out, (T-1)*stride + K).
+
+    Weight layout (C_in, C_out/groups, K) (torch ConvTranspose1d).
+    """
+    w = params["weight"]
+    c_in, c_out_g, k = w.shape
+    if groups == 1:
+        # conv_transpose with IOH: spatial dims flipped internally.
+        out = jax.lax.conv_transpose(
+            x,
+            w.astype(x.dtype),
+            strides=(stride,),
+            padding="VALID",
+            dimension_numbers=("NCH", "IOH", "NCH"),
+            transpose_kernel=True,
+        )
+    else:
+        # Grouped transposed conv (Mimi's upsample uses groups == channels):
+        # express as dilated scatter + grouped forward conv with flipped kernel.
+        b, _, t = x.shape
+        # Insert (stride-1) zeros between inputs.
+        xz = jnp.zeros((b, c_in, (t - 1) * stride + 1), dtype=x.dtype)
+        xz = xz.at[:, :, ::stride].set(x)
+        xz = jnp.pad(xz, ((0, 0), (0, 0), (k - 1, k - 1)))
+        # Forward conv with flipped kernel. Grouped: torch weight (C_in,
+        # C_out/g, K) -> forward-conv weight (C_out, C_in/g, K).
+        wf = jnp.flip(w, axis=-1)
+        c_out = c_out_g * groups
+        wf = wf.reshape(groups, c_in // groups, c_out_g, k)
+        wf = wf.transpose(0, 2, 1, 3).reshape(c_out, c_in // groups, k)
+        out = jax.lax.conv_general_dilated(
+            xz,
+            wf.astype(x.dtype),
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=groups,
+        )
+    if "bias" in params:
+        out = out + params["bias"].astype(out.dtype)[None, :, None]
+    return out
+
+
+def causal_conv_transpose1d(
+    params: Params,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """Causal transposed conv: emit exactly T*stride samples (trim right)."""
+    full = conv_transpose1d(params, x, stride=stride, groups=groups)
+    t_out = x.shape[-1] * stride
+    return full[:, :, :t_out]
+
+
+# ---------------------------------------------------------------------------
+# Streaming wrappers
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ConvState:
+    """Carried left context for a causal conv: (B, C_in, pad)."""
+
+    prev: jax.Array
+
+
+def causal_conv1d_streaming(
+    params: Params,
+    x: jax.Array,
+    state: ConvState,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+) -> Tuple[jax.Array, ConvState]:
+    """Streamed causal conv over a chunk whose length is a multiple of stride.
+
+    state.prev holds the last `pad` input samples (zeros at t=0); output is
+    identical to slicing the batch causal conv at the same offsets.
+    """
+    pad = causal_pad_amount(params["weight"].shape[-1], stride, dilation)
+    if pad == 0:
+        return conv1d(params, x, stride=stride, dilation=dilation, groups=groups), state
+    buf = jnp.concatenate([state.prev, x], axis=-1)
+    out = conv1d(params, buf, stride=stride, dilation=dilation, groups=groups)
+    new_prev = buf[:, :, buf.shape[-1] - pad:]
+    return out, ConvState(prev=new_prev)
+
+
+def make_conv_state(
+    c_in: int, kernel: int, stride: int, dilation: int, batch: int, dtype=jnp.float32
+) -> ConvState:
+    pad = causal_pad_amount(kernel, stride, dilation)
+    return ConvState(prev=jnp.zeros((batch, c_in, max(pad, 0)), dtype=dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ConvTrState:
+    """Carried overlap tail for a causal transposed conv: (B, C_out, K-stride)."""
+
+    partial: jax.Array
+
+
+def make_convtr_state(
+    c_out: int, kernel: int, stride: int, batch: int, dtype=jnp.float32
+) -> ConvTrState:
+    return ConvTrState(
+        partial=jnp.zeros((batch, c_out, max(kernel - stride, 0)), dtype=dtype)
+    )
+
+
+def causal_conv_transpose1d_streaming(
+    params: Params,
+    x: jax.Array,
+    state: ConvTrState,
+    *,
+    stride: int = 1,
+    groups: int = 1,
+) -> Tuple[jax.Array, ConvTrState]:
+    """Streamed causal transposed conv emitting T*stride samples per call.
+
+    The full transposed conv of a chunk produces (T-1)*stride + K samples;
+    the first K-stride overlap the previous chunk's carried tail (added in),
+    and the last K-stride are carried forward. Bias is included exactly once
+    per output sample (it is added by conv_transpose1d on the emitted part;
+    the carried tail keeps only the linear part).
+    """
+    w = params["weight"]
+    k = w.shape[-1]
+    tail = k - stride
+    bias = params.get("bias")
+    full = conv_transpose1d(
+        {"weight": w}, x, stride=stride, groups=groups
+    )  # no bias yet: (B, C_out, (T-1)*stride + K)
+    t_out = x.shape[-1] * stride
+    if tail > 0:
+        head = full[:, :, :tail] + state.partial
+        emitted = jnp.concatenate([head, full[:, :, tail:t_out]], axis=-1)
+        new_partial = full[:, :, t_out:]
+    else:
+        emitted = full[:, :, :t_out]
+        new_partial = state.partial
+    if bias is not None:
+        emitted = emitted + bias.astype(emitted.dtype)[None, :, None]
+    return emitted, ConvTrState(partial=new_partial)
