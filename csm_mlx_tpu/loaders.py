@@ -1,0 +1,165 @@
+"""Safetensors <-> parameter-pytree conversion for CSM checkpoints.
+
+The reference stores CSM weights as flat dot-separated safetensors
+(`senstella/csm-1b-mlx` `ckpt.safetensors`; saving at
+`/root/reference/csm_mlx/finetune/trainer.py:109` uses `tree_flatten` of the
+module tree). Our in-memory pytree uses the same names and tensor layouts
+(Linear (out, in), embeddings (vocab, dim), `audio_head` (31, d, vocab)), so
+loading is pure renaming:
+
+  backbone.layers.{i}.self_attn.q_proj.weight  -> params["backbone"]["layers"][i]...
+  text_embeddings.weight                        -> params["text_embeddings"]["weight"]
+  audio_head                                    -> params["audio_head"]
+
+Weight resolution order mirrors `cli/generate.py:19-49`: a local file path,
+or an HF repo trying `mlx-ckpt.safetensors` -> `ckpt.safetensors` ->
+`latest.safetensors`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from csm_mlx_tpu.models.csm import ModelArgs
+
+WEIGHT_FILE_CANDIDATES = ("mlx-ckpt.safetensors", "ckpt.safetensors",
+                          "latest.safetensors")
+
+
+def _load_flat(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    try:
+        return load_file(path)
+    except Exception:
+        from safetensors.torch import load_file as load_torch
+
+        return {k: v.float().numpy() for k, v in load_torch(path).items()}
+
+
+def flat_to_tree(flat: Dict[str, Any]) -> Dict[str, Any]:
+    """'a.layers.3.b' flat keys -> nested dicts with real lists for layers."""
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        cur = tree
+        for i, p in enumerate(parts[:-1]):
+            nxt = parts[i + 1]
+            if p.isdigit():
+                p = int(p)
+            if isinstance(p, int):
+                while len(cur) <= p:
+                    cur.append({})
+                if not isinstance(cur[p], (dict, list)):
+                    cur[p] = {}
+                cur = cur[p]
+                continue
+            if p not in cur:
+                cur[p] = [] if nxt.isdigit() else {}
+            cur = cur[p]
+        last = parts[-1]
+        if last.isdigit():
+            idx = int(last)
+            while len(cur) <= idx:
+                cur.append(None)
+            cur[idx] = value
+        else:
+            cur[last] = value
+    return tree
+
+
+def tree_to_flat(tree: Any, prefix: str = "") -> Dict[str, Any]:
+    flat: Dict[str, Any] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(tree_to_flat(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(tree_to_flat(v, f"{prefix}{i}."))
+    else:
+        flat[prefix[:-1]] = tree
+    return flat
+
+
+def load_csm_weights(
+    path: str,
+    args: ModelArgs,
+    dtype=jnp.bfloat16,
+    strict: bool = True,
+    existing: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Load a reference-format checkpoint into the CSM parameter pytree.
+
+    With strict=False, missing keys keep the `existing` values (used for
+    trainable-only checkpoints / adapters, cf. trainer.py:114-117).
+    """
+    flat = _load_flat(path)
+    tree = flat_to_tree(
+        {k: jnp.asarray(v, dtype=dtype) for k, v in flat.items()}
+    )
+    if strict:
+        required = ("backbone", "decoder", "text_embeddings", "audio_embeddings",
+                    "projection", "codebook0_head", "audio_head")
+        missing = [k for k in required if k not in tree]
+        if missing:
+            raise ValueError(f"Checkpoint {path} missing components: {missing}")
+        return tree
+    merged = dict(existing or {})
+    _merge(merged, tree)
+    return merged
+
+
+def _merge(dst: Any, src: Any) -> Any:
+    if isinstance(src, dict) and isinstance(dst, dict):
+        for k, v in src.items():
+            if k in dst:
+                dst[k] = _merge(dst[k], v)
+            else:
+                dst[k] = v
+        return dst
+    if isinstance(src, list) and isinstance(dst, list):
+        for i, v in enumerate(src):
+            if i < len(dst):
+                dst[i] = _merge(dst[i], v)
+            else:
+                dst.append(v)
+        return dst
+    return src
+
+
+def save_csm_weights(path: str, params: Dict[str, Any]) -> None:
+    from safetensors.numpy import save_file
+
+    flat = {k: np.asarray(v) for k, v in tree_to_flat(params).items()}
+    save_file(flat, path)
+
+
+def resolve_weight_path(model_or_path: str, filename: Optional[str] = None) -> str:
+    """Local path, or HF repo id trying the reference's candidate filenames
+    (cli/generate.py:19-49)."""
+    if os.path.exists(model_or_path):
+        if os.path.isdir(model_or_path):
+            for cand in ((filename,) if filename else ()) + WEIGHT_FILE_CANDIDATES:
+                p = os.path.join(model_or_path, cand)
+                if os.path.exists(p):
+                    return p
+            raise FileNotFoundError(
+                f"No checkpoint ({WEIGHT_FILE_CANDIDATES}) in {model_or_path}"
+            )
+        return model_or_path
+    from huggingface_hub import hf_hub_download
+
+    last_err: Exception | None = None
+    for cand in ((filename,) if filename else ()) + WEIGHT_FILE_CANDIDATES:
+        try:
+            return hf_hub_download(repo_id=model_or_path, filename=cand)
+        except Exception as e:  # noqa: PERF203
+            last_err = e
+    raise FileNotFoundError(
+        f"Could not resolve weights from {model_or_path}: {last_err}"
+    )

@@ -85,38 +85,24 @@ def conv_transpose1d(
     """
     w = params["weight"]
     c_in, c_out_g, k = w.shape
-    if groups == 1:
-        # conv_transpose with IOH: spatial dims flipped internally.
-        out = jax.lax.conv_transpose(
-            x,
-            w.astype(x.dtype),
-            strides=(stride,),
-            padding="VALID",
-            dimension_numbers=("NCH", "IOH", "NCH"),
-            transpose_kernel=True,
-        )
-    else:
-        # Grouped transposed conv (Mimi's upsample uses groups == channels):
-        # express as dilated scatter + grouped forward conv with flipped kernel.
-        b, _, t = x.shape
-        # Insert (stride-1) zeros between inputs.
-        xz = jnp.zeros((b, c_in, (t - 1) * stride + 1), dtype=x.dtype)
-        xz = xz.at[:, :, ::stride].set(x)
-        xz = jnp.pad(xz, ((0, 0), (0, 0), (k - 1, k - 1)))
-        # Forward conv with flipped kernel. Grouped: torch weight (C_in,
-        # C_out/g, K) -> forward-conv weight (C_out, C_in/g, K).
-        wf = jnp.flip(w, axis=-1)
-        c_out = c_out_g * groups
-        wf = wf.reshape(groups, c_in // groups, c_out_g, k)
-        wf = wf.transpose(0, 2, 1, 3).reshape(c_out, c_in // groups, k)
-        out = jax.lax.conv_general_dilated(
-            xz,
-            wf.astype(x.dtype),
-            window_strides=(1,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=groups,
-        )
+    # Expressed as dilated scatter + forward conv with flipped kernel — the
+    # textbook transposed-conv identity; handles groups uniformly (Mimi's
+    # upsample uses groups == channels). XLA lowers lhs_dilation natively,
+    # so use lhs_dilation instead of a materialized scatter.
+    # Forward-conv weight from torch convtr layout (C_in, C_out/g, K):
+    wf = jnp.flip(w, axis=-1)
+    c_out = c_out_g * groups
+    wf = wf.reshape(groups, c_in // groups, c_out_g, k)
+    wf = wf.transpose(0, 2, 1, 3).reshape(c_out, c_in // groups, k)
+    out = jax.lax.conv_general_dilated(
+        x,
+        wf.astype(x.dtype),
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
     if "bias" in params:
         out = out + params["bias"].astype(out.dtype)[None, :, None]
     return out

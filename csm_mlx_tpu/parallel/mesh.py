@@ -1,0 +1,120 @@
+"""Device meshes and CSM sharding rules.
+
+Design (How-to-Scale-Your-Model recipe): pick a mesh, annotate shardings on
+params and batch, let XLA insert the collectives.
+
+Axes:
+- "data": batch dimension — DP fine-tuning and batch-parallel generation.
+  Gradients all-reduce over ICI automatically (jit inserts psum when params
+  are replicated over "data" and the batch is sharded).
+- "model": tensor parallelism — attention heads and MLP hidden dim are
+  sharded; o_proj/down_proj contract over the sharded dim so XLA inserts the
+  all-reduce at the layer output. Vocab-sharded heads (codebook0/audio_head)
+  all-gather only a (B, 2051) logits row.
+
+All rules are expressed as PartitionSpec trees matched to the parameter
+pytree by path, so they work under plain jit (shardings attached via
+device_put / in_shardings) with no model-code changes.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    shape: Optional[Dict[str, int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a Mesh. Default: all devices on a 1-D "data" axis.
+
+    create_mesh({"data": 2, "model": 4}) lays the model axis innermost so
+    tensor-parallel collectives ride the fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = {"data": len(devices)}
+    sizes = list(shape.values())
+    n = int(np.prod(sizes))
+    if n != len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices).reshape(sizes)
+    return Mesh(arr, tuple(shape.keys()))
+
+
+# (path regex, spec) — first match wins. Linear weights are (out, in).
+_CSM_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention: shard heads (out dim of q/k/v, in dim of o)
+    (r".*self_attn\.(q_proj|k_proj|v_proj)\.weight$", P("model", None)),
+    (r".*self_attn\.o_proj\.weight$", P(None, "model")),
+    # mlp: shard hidden dim
+    (r".*mlp\.(gate_proj|up_proj)\.weight$", P("model", None)),
+    (r".*mlp\.down_proj\.weight$", P(None, "model")),
+    # output heads: shard vocab
+    (r"codebook0_head\.weight$", P("model", None)),
+    (r"audio_head$", P(None, None, "model")),
+    # embeddings: shard vocab rows (gathers are cheap row lookups)
+    (r"(text|audio)_embeddings\.weight$", P("model", None)),
+    # norms, projection, everything else: replicate
+    (r".*", P()),
+)
+
+
+def _tree_paths(tree: Any, prefix: str = "") -> Dict[str, Any]:
+    from csm_mlx_tpu.loaders import tree_to_flat
+
+    return tree_to_flat(tree, prefix)
+
+
+def _unflatten_like(tree: Any, flat: Dict[str, Any]) -> Any:
+    if isinstance(tree, dict):
+        return {k: _unflatten_like(v, {kk[len(k) + 1:]: vv for kk, vv in flat.items()
+                                       if kk == k or kk.startswith(k + ".")})
+                for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        out = [
+            _unflatten_like(v, {kk[len(str(i)) + 1:]: vv for kk, vv in flat.items()
+                                if kk == str(i) or kk.startswith(f"{i}.")})
+            for i, v in enumerate(tree)
+        ]
+        return type(tree)(out) if isinstance(tree, tuple) else out
+    return flat[""]
+
+
+def csm_param_spec(params: Any, tensor_parallel: bool = True) -> Any:
+    """PartitionSpec pytree for CSM params (replicated if not TP)."""
+    flat = _tree_paths(params)
+    rules = _CSM_TP_RULES if tensor_parallel else ((r".*", P()),)
+    out = {}
+    for path in flat:
+        spec = P()
+        for pattern, s in rules:
+            if re.search(pattern, path):
+                spec = s
+                break
+        out[path] = spec
+    return _unflatten_like(params, {k: out[k] for k in flat})
+
+
+def data_parallel_spec(batch: Any) -> Any:
+    """Shard the leading axis of every leaf over "data"."""
+    return jax.tree.map(lambda x: P("data"), batch)
+
+
+def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
+    """device_put params with NamedShardings from the rules."""
+    specs = csm_param_spec(params, tensor_parallel)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch
+    )
