@@ -1,0 +1,127 @@
+"""Benchmark: CSM-1B end-to-end TTS real-time factor on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "rtf_csm1b", "value": <audio-sec per wall-sec>, "unit":
+   "x_realtime", "vs_baseline": <value / 1.0>, ...extras}
+
+Measures the full pipeline at production dtype (bf16 model): fused
+generation loop (prefill + frame steps, 12.5 frames/s of audio, 32
+codebooks/frame) + Mimi decode to a 24 kHz waveform. Weights are random —
+RTF is independent of weight values (no data-dependent control flow in the
+compiled program except EOS, which random weights do not trigger).
+
+Baseline: the reference's implicit RTF ~= 1.0 on Apple M2 with 4-bit
+quantization (README.md:142; BASELINE.md). Target: >= 10x (BASELINE.json).
+
+Extra fields report frames/sec, p50 first-chunk latency for the streaming
+path, and generation-only RTF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from csm_mlx_tpu.generation import (
+        _build_generate_tokens,
+        _build_stream_fns,
+        _pad_prompt,
+    )
+    from csm_mlx_tpu.models.csm import CSM, csm_1b
+    from csm_mlx_tpu.models.mimi import Mimi, mimi_202407
+    from csm_mlx_tpu.ops.sampling import SamplerConfig
+
+    dtype = jnp.bfloat16
+    model = CSM(csm_1b(), dtype=dtype, rng=jax.random.PRNGKey(0))
+    args = model.args
+
+    # ---- prompt: ~32 text rows (typical sentence), no context audio ----
+    rng = np.random.RandomState(0)
+    s = 32
+    prompt = np.zeros((s, 33), dtype=np.int32)
+    prompt[:, -1] = rng.randint(0, args.n_text_vocab, size=s)
+    mask = np.zeros((s, 33), dtype=np.int32)
+    mask[:, -1] = 1
+    tokens, msk, pad_len, bucket = _pad_prompt(prompt, mask)
+
+    max_frames = int(float(os.environ.get("BENCH_SECONDS", "10")) * 12.5)
+    sampler = SamplerConfig(temperature=0.0)
+
+    gen_fn = _build_generate_tokens(args, sampler, (), bucket, max_frames,
+                                    "bfloat16")
+    t_j, m_j, p_j = jnp.asarray(tokens), jnp.asarray(msk), jnp.asarray(pad_len)
+    key = jax.random.PRNGKey(1)
+
+    # Warmup (compile)
+    frames, n = gen_fn(model.params, t_j, m_j, p_j, key)
+    jax.block_until_ready(frames)
+
+    # ---- timed generation ----
+    t0 = time.perf_counter()
+    frames, n = gen_fn(model.params, t_j, m_j, p_j, key)
+    frames = jax.device_get(frames)
+    n = int(n)
+    t_gen = time.perf_counter() - t0
+    assert n > 0, "no frames generated"
+
+    # ---- Mimi decode of the generated frames ----
+    mimi = Mimi(mimi_202407(args.n_audio_codebooks), dtype=jnp.float32,
+                rng=jax.random.PRNGKey(2))
+    codes = jnp.asarray(frames[:n, 0, :].T[None], dtype=jnp.int32)
+    audio = mimi.decode(codes)  # warmup + decode
+    jax.block_until_ready(audio)
+    t0 = time.perf_counter()
+    audio = mimi.decode(codes)
+    jax.block_until_ready(audio)
+    t_dec = time.perf_counter() - t0
+
+    audio_sec = n / 12.5
+    rtf_total = audio_sec / (t_gen + t_dec)
+    rtf_gen = audio_sec / t_gen
+    fps = n / t_gen
+
+    # ---- p50 first-chunk latency (streaming path) ----
+    first_fn, step_fn = _build_stream_fns(args, sampler, (), bucket,
+                                          max_frames, "bfloat16")
+    lat = []
+    dec_state0 = mimi.init_decode_state()
+    for i in range(5):
+        dec_state = jax.tree.map(jnp.copy, dec_state0)
+        t0 = time.perf_counter()
+        frame, cache, k2, hist = first_fn(model.params, t_j, m_j, p_j,
+                                          jax.random.PRNGKey(i))
+        chunk, dec_state = mimi.decode_step(
+            jnp.asarray(np.asarray(frame).T[None]), dec_state)
+        np.asarray(chunk)
+        lat.append(time.perf_counter() - t0)
+    p50_first_chunk_ms = float(np.percentile(lat[1:], 50) * 1000)
+
+    print(json.dumps({
+        "metric": "rtf_csm1b",
+        "value": round(rtf_total, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf_total / 1.0, 3),
+        "rtf_generation_only": round(rtf_gen, 3),
+        "frames_per_sec": round(fps, 2),
+        "p50_first_chunk_ms": round(p50_first_chunk_ms, 1),
+        "audio_sec": round(audio_sec, 2),
+        "gen_wall_sec": round(t_gen, 3),
+        "mimi_decode_wall_sec": round(t_dec, 3),
+        "n_frames": n,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""LoRA / DoRA adapters over parameter pytrees.
+
+The reference wraps nn.Linear modules with mlx_lm tuner classes
+(`/root/reference/csm_mlx/finetune/utils.py:16-81`). In the functional
+design, an adapted Linear's params dict simply gains `lora_a`/`lora_b`
+(and `dora_m` for DoRA) keys; `ops.layers.linear` stays untouched because
+the adapted forward lives here and model code calls `linear()` through the
+same pytree — so we *wrap the weight*, not the module:
+
+  effective W = W + (alpha/r) * B @ A                     (LoRA)
+  effective W = m * (W + (alpha/r) B A) / ||.||_col       (DoRA)
+
+Adaptation is applied by `linear_to_lora_layers(model, config)` which
+rewrites matching leaves in-place (keys follow the reference's "attn"
+expansion: q/k/v/o + gate/up/down, utils.py:59-68, recursing into backbone
+and decoder, utils.py:70-72). The trainable filter for optax masking and
+trainable-only checkpoints matches paths ending in lora_a/lora_b/dora_m.
+
+Adapter files keep the reference format: `adapter_config.json` +
+`adapters.safetensors` (utils.py:84-108, lora_finetune.py:261-266).
+
+Fusing (`fuse_lora`) folds adapters back into plain weights for inference.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import types
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csm_mlx_tpu.loaders import tree_to_flat
+from csm_mlx_tpu.models.csm import CSM
+
+DEFAULT_KEYS = [
+    "self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+    "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj",
+]
+
+TRAINABLE_RE = re.compile(r"\.(lora_a|lora_b|dora_m)$")
+
+
+def trainable_filter(path: str) -> bool:
+    """Path predicate for optax masking / trainable-only checkpoints."""
+    return bool(TRAINABLE_RE.search(path))
+
+
+def effective_weight(p: Dict[str, jax.Array]) -> jax.Array:
+    """Materialize the adapted weight from a (possibly) LoRA/DoRA dict."""
+    w = p["weight"]
+    if "lora_a" not in p:
+        return w
+    scale = p["lora_scale"] if "lora_scale" in p else 1.0
+    delta = (p["lora_b"] @ p["lora_a"]).astype(w.dtype)
+    w = w + scale * delta
+    if "dora_m" in p:
+        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=1, keepdims=True)
+        w = p["dora_m"][:, None] * w / jnp.maximum(norm, 1e-6).astype(w.dtype)
+    return w
+
+
+def _patch_linear_forward() -> None:
+    """Make ops.layers.linear LoRA-aware (idempotent)."""
+    from csm_mlx_tpu.ops import layers
+
+    if getattr(layers.linear, "_lora_aware", False):
+        return
+    base = layers.linear
+
+    def lora_linear(params, x):
+        if "lora_a" in params:
+            w = effective_weight(params)
+            y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+            if "bias" in params:
+                y = y + params["bias"].astype(y.dtype)
+            return y
+        return base(params, x)
+
+    lora_linear._lora_aware = True
+    layers.linear = lora_linear
+    # Modules that imported `linear` by value:
+    import csm_mlx_tpu.generation as gen_mod
+    import csm_mlx_tpu.finetune.loss as loss_mod
+    import csm_mlx_tpu.models.llama as llama_mod
+
+    for mod in (gen_mod, loss_mod, llama_mod):
+        if hasattr(mod, "linear"):
+            mod.linear = lora_linear
+
+
+def _adapt_leaf(p: Dict[str, Any], rank: int, scale: float, dropout: float,
+                use_dora: bool, key: jax.Array) -> None:
+    w = p["weight"]
+    out_dim, in_dim = w.shape
+    dtype = w.dtype
+    p["lora_a"] = (
+        jax.random.uniform(key, (rank, in_dim), minval=-1.0, maxval=1.0)
+        * (1.0 / math.sqrt(in_dim))
+    ).astype(dtype)
+    p["lora_b"] = jnp.zeros((out_dim, rank), dtype=dtype)
+    p["lora_scale"] = jnp.asarray(scale, dtype=jnp.float32)
+    if use_dora:
+        p["dora_m"] = jnp.linalg.norm(
+            w.astype(jnp.float32), axis=1
+        ).astype(dtype)
+    _ = dropout  # dropout is a no-op at inference; training dropout TODO
+
+
+def linear_to_lora_layers(model, config: Dict, use_dora: bool = False) -> None:
+    """Convert matching Linears in a CSM (or sub-pytree) to LoRA/DoRA.
+
+    config: {"rank": int, "scale": float, "dropout": float, "keys": [...]}
+    — "attn" in keys expands to the reference's q/k/v/o + MLP set
+    (utils.py:59-68).
+    """
+    _patch_linear_forward()
+    keys = set(config.get("keys") or [])
+    if "attn" in keys:
+        keys.discard("attn")
+        keys.update(DEFAULT_KEYS)
+    if not keys:
+        keys.update(DEFAULT_KEYS)
+
+    params = model.params if isinstance(model, CSM) else model
+    rank = config["rank"]
+    scale = config.get("scale", 20.0 / max(rank, 1))
+    dropout = config.get("dropout", 0.0)
+
+    rng = jax.random.PRNGKey(config.get("seed", 0))
+    counter = [0]
+
+    def visit(tree, path):
+        if isinstance(tree, dict):
+            if "weight" in tree and any(path.endswith(k) for k in keys):
+                counter[0] += 1
+                _adapt_leaf(tree, rank, scale, dropout, use_dora,
+                            jax.random.fold_in(rng, counter[0]))
+                return
+            for k, v in tree.items():
+                visit(v, f"{path}.{k}" if path else k)
+        elif isinstance(tree, list):
+            for i, v in enumerate(tree):
+                visit(v, f"{path}.{i}")
+
+    visit(params, "")
+
+
+def fuse_lora(model: CSM) -> None:
+    """Fold adapters into plain weights (inference fast path)."""
+    def visit(tree):
+        if isinstance(tree, dict):
+            if "lora_a" in tree:
+                tree["weight"] = effective_weight(tree)
+                for k in ("lora_a", "lora_b", "lora_scale", "dora_m"):
+                    tree.pop(k, None)
+                return
+            for v in tree.values():
+                visit(v)
+        elif isinstance(tree, list):
+            for v in tree:
+                visit(v)
+
+    visit(model.params)
+
+
+def save_adapters(model: CSM, adapter_dir: str, config: Dict,
+                  fine_tune_type: str = "lora") -> None:
+    """Write adapter_config.json + adapters.safetensors
+    (lora_finetune.py:261-266, :333-338)."""
+    from safetensors.numpy import save_file
+
+    path = Path(adapter_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "adapter_config.json", "w") as f:
+        json.dump({"fine_tune_type": fine_tune_type,
+                   "lora_parameters": config}, f, indent=2)
+    flat = tree_to_flat(model.params)
+    adapters = {k: np.asarray(v) for k, v in flat.items() if trainable_filter(k)}
+    save_file(adapters, str(path / "adapters.safetensors"))
+
+
+def load_adapters(model: CSM, adapter_path: str) -> CSM:
+    """Re-apply LoRA structure from adapter_config.json and load weights
+    (utils.py:84-108)."""
+    _adapter_path = Path(adapter_path)
+    if not _adapter_path.exists():
+        raise FileNotFoundError(
+            f"The adapter path does not exist: {_adapter_path}"
+        )
+    with open(_adapter_path / "adapter_config.json") as fid:
+        config = types.SimpleNamespace(**json.load(fid))
+    fine_tune_type = getattr(config, "fine_tune_type", "lora")
+    if fine_tune_type != "full":
+        linear_to_lora_layers(
+            model, config.lora_parameters, use_dora=(fine_tune_type == "dora")
+        )
+    model.load_weights(str(_adapter_path / "adapters.safetensors"),
+                       strict=False)
+    return model

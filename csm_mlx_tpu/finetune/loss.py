@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from csm_mlx_tpu.models.csm import ModelArgs, embed_tokens
 from csm_mlx_tpu.models.llama import llama_forward
 from csm_mlx_tpu.ops.attention import causal_mask_bias
-from csm_mlx_tpu.ops.layers import linear
+from csm_mlx_tpu.ops.layers import emb_table, linear
 from csm_mlx_tpu.ops.rope import rope_cache_for
 
 
@@ -105,7 +105,7 @@ def compute_loss(
     # Optional compute amortization: subsample frame positions.
     n_rows = b * (s - 1)
     offsets = jnp.arange(n_cb, dtype=tokens.dtype) * args.n_audio_vocab
-    ci_emb = params["audio_embeddings"]["weight"][
+    ci_emb = emb_table(params["audio_embeddings"])[
         shifted_audio_tokens + offsets
     ]  # (B, S-1, K, D)
     dec_in = jnp.concatenate([hidden[:, :, None, :], ci_emb], axis=-2)

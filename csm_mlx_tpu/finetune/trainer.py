@@ -1,0 +1,491 @@
+"""Trainers: SFT (`CSMTrainer`), DPO, KTO — capability parity with
+`/root/reference/csm_mlx/finetune/trainer.py`, rebuilt on jax/optax:
+
+- one `jax.jit` train step per batch-shape bucket closing over
+  `value_and_grad(compute_loss)` + optax update + global-norm clip
+  (reference: mx.compile + nn.value_and_grad + clip_grad_norm,
+  trainer.py:329-377);
+- `TrainerState`/`History`/`TrainingRecord` with the same
+  `trainer_state.json` schema and mid-epoch resume arithmetic
+  (trainer.py:46-74, :388-424);
+- `CheckpointManager` writing `latest.safetensors`,
+  `optimizer_state.safetensors`, `trainer_state.json` to both `step_N/` and
+  the run root, with auto-resume on load (trainer.py:77-173);
+- gradient checkpointing via jax.checkpoint (remat) on every layer (the
+  reference only remats layer 0, trainer.py:195-197 — remat here is a
+  strict superset);
+- optional data parallelism: pass a Mesh and the step shards the batch over
+  the "data" axis with params replicated — XLA inserts the gradient
+  all-reduce (new capability; the reference is single-device, SURVEY §2.3).
+
+Trainable-parameter masking (LoRA) is handled by an optax.masked wrapper
+built from `trainable` path predicates (see finetune/lora.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from csm_mlx_tpu.finetune.dataset import (
+    CSMDataset,
+    CSMPairwiseDataset,
+    CSMPointwiseDataset,
+)
+from csm_mlx_tpu.finetune.loss import compute_loss
+from csm_mlx_tpu.loaders import save_csm_weights, tree_to_flat
+from csm_mlx_tpu.models.csm import CSM
+
+
+# ---------------------------------------------------------------------------
+# Args / state / history (schema parity with trainer.py:20-74)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrainArgs:
+    model: CSM
+    optimizer: optax.GradientTransformation
+    output_dir: Path
+    first_codebook_weight_multiplier: float = 1.0
+    max_norm: float = 1.0
+    gradient_checkpointing: bool = False
+    log_freq: int = 1
+    ckpt_freq: int = 1
+    only_save_trainable_params: bool = False
+    decoder_loss_fraction: float = 1.0  # <1.0 = Sesame compute amortization
+    learning_rate: Optional[float] = None  # for state reporting only
+    mesh: Optional[Any] = None  # jax.sharding.Mesh for data parallelism
+    trainable_filter: Optional[Callable[[str], bool]] = None  # LoRA masking
+
+
+@dataclass
+class DPOArgs(TrainArgs):
+    beta: float = 0.1
+
+
+@dataclass
+class KTOArgs(TrainArgs):
+    reference_model: Optional[CSM] = None
+    beta: float = 0.1
+    desirable_weight: float = 1.0
+    undesirable_weight: float = 1.0
+
+
+@dataclass
+class TrainerState:
+    step: int = 0
+    epoch: int = 0
+    learning_rate: float = 0.0
+
+
+@dataclass
+class TrainingRecord:
+    step: int
+    epoch: int
+    loss: float
+    learning_rate: float
+
+
+class History:
+    def __init__(self):
+        self.records: List[TrainingRecord] = []
+
+    def log(self, step: int, epoch: int, loss: float, lr: float):
+        self.records.append(TrainingRecord(step, epoch, loss, lr))
+
+    @property
+    def state(self):
+        return [asdict(r) for r in self.records]
+
+    @state.setter
+    def state(self, records: List[Dict]):
+        self.records = [TrainingRecord(**r) for r in records]
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (directory layout parity with trainer.py:95-173)
+# ---------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        model: CSM,
+        opt_state_ref: Dict[str, Any],
+        state: TrainerState,
+        history: History,
+        checkpoint_dir: Path,
+        only_save_trainable_params: bool = False,
+        trainable_filter: Optional[Callable[[str], bool]] = None,
+    ):
+        self.model = model
+        self.opt_state_ref = opt_state_ref  # {"opt_state": pytree}
+        self.state = state
+        self.history = history
+        self.dir = Path(checkpoint_dir)
+        self.only_save_trainable_params = only_save_trainable_params
+        self.trainable_filter = trainable_filter
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _weights_flat(self) -> Dict[str, np.ndarray]:
+        flat = tree_to_flat(self.model.params)
+        if self.only_save_trainable_params and self.trainable_filter:
+            flat = {k: v for k, v in flat.items() if self.trainable_filter(k)}
+        return {k: np.asarray(v) for k, v in flat.items()}
+
+    def _opt_flat(self) -> Dict[str, np.ndarray]:
+        leaves = jax.tree.leaves(self.opt_state_ref.get("opt_state"))
+        return {f"opt.{i}": np.asarray(l) for i, l in enumerate(leaves)
+                if hasattr(l, "shape")}
+
+    def save(self):
+        from safetensors.numpy import save_file
+
+        suffix = f"step_{self.state.step}"
+        trainer_state = {
+            "trainer_state": asdict(self.state),
+            "history": self.history.state,
+        }
+        for root in (self.dir / suffix, self.dir):
+            os.makedirs(root, exist_ok=True)
+            save_file(self._weights_flat(), str(root / "latest.safetensors"))
+            opt = self._opt_flat()
+            if opt:
+                save_file(opt, str(root / "optimizer_state.safetensors"))
+            with open(root / "trainer_state.json", "w") as f:
+                json.dump(trainer_state, f, indent=2)
+        print(f"Saved checkpoint (step {self.state.step})")
+
+    def load(self):
+        weights_path = self.dir / "latest.safetensors"
+        state_path = self.dir / "trainer_state.json"
+        opt_path = self.dir / "optimizer_state.safetensors"
+
+        if weights_path.exists():
+            self.model.load_weights(str(weights_path), strict=False)
+            print(f"Loaded latest run weights from {weights_path}")
+
+        if opt_path.exists() and self.opt_state_ref.get("opt_state") is not None:
+            from safetensors.numpy import load_file
+
+            flat = load_file(str(opt_path))
+            leaves, treedef = jax.tree.flatten(self.opt_state_ref["opt_state"])
+            new_leaves = []
+            j = 0
+            for leaf in leaves:
+                if hasattr(leaf, "shape"):
+                    new_leaves.append(jnp.asarray(flat[f"opt.{j}"],
+                                                  dtype=leaf.dtype))
+                    j += 1
+                else:
+                    new_leaves.append(leaf)
+            self.opt_state_ref["opt_state"] = jax.tree.unflatten(treedef, new_leaves)
+            print(f"Loaded optimizer state from {opt_path}")
+
+        if state_path.exists():
+            with open(state_path) as f:
+                trainer_state = json.load(f)
+            ts = trainer_state["trainer_state"]
+            self.state.step = ts["step"]
+            self.state.epoch = ts["epoch"]
+            self.state.learning_rate = ts["learning_rate"]
+            self.history.state = trainer_state["history"]
+            print(f"Loaded trainer state (step {self.state.step})")
+        else:
+            print("Trainer state not found. Starting fresh training.")
+
+
+# ---------------------------------------------------------------------------
+# SFT trainer
+# ---------------------------------------------------------------------------
+
+
+class CSMTrainer:
+    """CSM SFT trainer (reference CSMTrainer, trainer.py:176-481)."""
+
+    loss_requires: type = CSMDataset
+
+    def __init__(self, args: TrainArgs):
+        self.model = args.model
+        self.args = args
+        self.optimizer = self._wrap_optimizer(args.optimizer)
+        self.opt_state_ref: Dict[str, Any] = {
+            "opt_state": self.optimizer.init(self.model.params)
+        }
+        self.state = TrainerState(learning_rate=float(args.learning_rate or 0.0))
+        self.history = History()
+        self.checkpointer = CheckpointManager(
+            self.model, self.opt_state_ref, self.state, self.history,
+            args.output_dir, args.only_save_trainable_params,
+            args.trainable_filter,
+        )
+        self.checkpointer.load()
+        if args.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(args.mesh, P())
+            self.model.params = jax.device_put(self.model.params, rep)
+            self.opt_state_ref["opt_state"] = jax.device_put(
+                self.opt_state_ref["opt_state"], rep
+            )
+        self._step_fns: Dict[Any, Callable] = {}
+        self._rng = jax.random.PRNGKey(0)
+
+    def _wrap_optimizer(self, opt: optax.GradientTransformation):
+        if self.args.trainable_filter is not None:
+            flt = self.args.trainable_filter
+            # Frozen params get zero updates (optax.masked would pass raw
+            # gradients through for masked-out leaves).
+            opt = optax.multi_transform(
+                {"train": opt, "freeze": optax.set_to_zero()},
+                lambda params: jax.tree.map(
+                    lambda m: "train" if m else "freeze",
+                    _mask_tree(params, flt),
+                ),
+            )
+        return opt
+
+    # -- loss (overridden by DPO/KTO) -----------------------------------
+    def _loss_fn(self, params, batch, rng):
+        return compute_loss(
+            params, self.model.args, batch,
+            first_codebook_weight_multiplier=
+                self.args.first_codebook_weight_multiplier,
+            decoder_loss_fraction=self.args.decoder_loss_fraction,
+            remat=self.args.gradient_checkpointing,
+            rng=rng,
+        )
+
+    # -- compiled step ---------------------------------------------------
+    def _build_step(self):
+        optimizer = self.optimizer
+        max_norm = self.args.max_norm
+        loss_fn = self._loss_fn
+
+        def step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch, rng)
+            )(params)
+            if max_norm > 0:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+            else:
+                gnorm = jnp.zeros(())
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, gnorm
+
+        # Sharding comes from the (committed) argument placements:
+        # _prepare_batch shards batches over the "data" axis and __init__
+        # replicates params/opt state across the mesh. XLA inserts the
+        # gradient all-reduce.
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _batch_key(self, batch) -> Any:
+        return tuple(sorted((k, v.shape) for k, v in batch.items()))
+
+    def _prepare_batch(self, batch):
+        if self.args.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.args.mesh
+            dp = NamedSharding(mesh, P("data"))
+            return {k: jax.device_put(jnp.asarray(v), dp)
+                    for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> float:
+        key = self._batch_key(batch)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step()
+        self._rng, sub = jax.random.split(self._rng)
+        params, opt_state, loss, _ = self._step_fns[key](
+            self.model.params, self.opt_state_ref["opt_state"],
+            self._prepare_batch(batch), sub,
+        )
+        self.model.params = params
+        self.opt_state_ref["opt_state"] = opt_state
+        return float(loss)
+
+    # -- epoch loop (resume arithmetic parity, trainer.py:381-481) -------
+    def train(self, dataset, batch_size: int, epochs: int,
+              shuffle: bool = True) -> History:
+        if not isinstance(dataset, self.loss_requires):
+            raise TypeError(
+                f"Please use `{self.loss_requires.__name__}` instead of other "
+                f"dataset types."
+            )
+        from tqdm import tqdm
+
+        num_samples = len(dataset)
+        steps_per_epoch = (num_samples + batch_size - 1) // batch_size
+
+        start_epoch = self.state.epoch
+        start_step = self.state.step
+        resume_batch_idx = 0
+        if start_epoch < epochs and start_step > 0:
+            completed = start_epoch * steps_per_epoch
+            if start_step > completed:
+                resume_batch_idx = start_step % steps_per_epoch
+        if start_epoch > 0 or resume_batch_idx > 0:
+            print(f"Resuming from Epoch {start_epoch + 1}, Step {start_step + 1}")
+
+        rng = np.random.RandomState(1234)
+        for epoch in range(start_epoch, epochs):
+            indices = np.arange(num_samples)
+            if shuffle:
+                indices = rng.permutation(indices)
+            batch_indices = [
+                indices[i : i + batch_size].tolist()
+                for i in range(0, num_samples, batch_size)
+            ]
+            start_idx = resume_batch_idx if epoch == start_epoch else 0
+            remaining = batch_indices[start_idx:]
+            if not remaining:
+                print(f"Epoch {epoch + 1} already fully completed in previous "
+                      f"run. Skipping.")
+                self.state.epoch = epoch + 1
+                continue
+
+            pbar = tqdm(remaining, desc=f"Epoch {epoch + 1}/{epochs}",
+                        total=len(batch_indices), initial=start_idx)
+            epoch_loss, n_batches = 0.0, 0
+            for batch_idx_list in pbar:
+                batch = dataset.get_batch(batch_idx_list)
+                loss = self.train_step(batch)
+                self.state.step += 1
+                if self.args.learning_rate is not None:
+                    self.state.learning_rate = float(self.args.learning_rate)
+                epoch_loss += loss
+                n_batches += 1
+                if self.state.step % self.args.log_freq == 0:
+                    self.history.log(self.state.step, epoch, loss,
+                                     self.state.learning_rate)
+                    pbar.set_postfix({"step": self.state.step,
+                                      "loss": f"{loss:.4f}"})
+                if self.args.ckpt_freq > 0 and \
+                        self.state.step % self.args.ckpt_freq == 0:
+                    self.checkpointer.save()
+
+            if n_batches:
+                print(f"Epoch {epoch + 1} average loss: "
+                      f"{epoch_loss / n_batches:.4f}")
+            self.state.epoch = epoch + 1
+            print(f"Completed Epoch {epoch + 1}. Saving checkpoint.")
+            self.checkpointer.save()
+        return self.history
+
+
+def _mask_tree(params, trainable_filter: Callable[[str], bool]):
+    flat = tree_to_flat(params)
+    mask_flat = {k: bool(trainable_filter(k)) for k in flat}
+    from csm_mlx_tpu.parallel.mesh import _unflatten_like
+
+    return _unflatten_like(params, mask_flat)
+
+
+# ---------------------------------------------------------------------------
+# DPO
+# ---------------------------------------------------------------------------
+
+
+class DPOTrainer(CSMTrainer):
+    """Sigmoid-margin preference trainer (trainer.py:484-603)."""
+
+    loss_requires = CSMPairwiseDataset
+
+    def __init__(self, args: DPOArgs):
+        if not isinstance(args, DPOArgs):
+            raise TypeError("Please use `DPOArgs` instead of other trainer's "
+                            "arguments.")
+        super().__init__(args)
+        self.beta = args.beta
+
+    def _loss_fn(self, params, batch, rng):
+        fcw = self.args.first_codebook_weight_multiplier
+        chosen = {"tokens": batch["chosen_tokens"],
+                  "masks": batch["chosen_masks"],
+                  "loss_masks": batch["chosen_loss_masks"]}
+        rejected = {"tokens": batch["rejected_tokens"],
+                    "masks": batch["rejected_masks"],
+                    "loss_masks": batch["rejected_loss_masks"]}
+        args = self.model.args
+        remat = self.args.gradient_checkpointing
+        chosen_loss = compute_loss(params, args, chosen, per_sample=True,
+                                   first_codebook_weight_multiplier=fcw,
+                                   remat=remat)
+        rejected_loss = compute_loss(params, args, rejected, per_sample=True,
+                                     first_codebook_weight_multiplier=fcw,
+                                     remat=remat)
+        margin = -(chosen_loss - rejected_loss) * self.beta
+        return jnp.mean(-jax.nn.log_sigmoid(margin))
+
+
+# ---------------------------------------------------------------------------
+# KTO
+# ---------------------------------------------------------------------------
+
+
+class KTOTrainer(CSMTrainer):
+    """KTO trainer with a frozen reference model (trainer.py:606-788)."""
+
+    loss_requires = CSMPointwiseDataset
+
+    def __init__(self, args: KTOArgs):
+        if not isinstance(args, KTOArgs):
+            raise TypeError("Please use `KTOArgs` instead of other trainer's "
+                            "arguments.")
+        if args.reference_model is None:
+            raise ValueError("Reference model must be provided.")
+        super().__init__(args)
+        self.beta = args.beta
+        self.desirable_weight = args.desirable_weight
+        self.undesirable_weight = args.undesirable_weight
+        self.reference_model = args.reference_model
+
+    def _loss_fn(self, params, batch, rng):
+        args = self.model.args
+        fcw = self.args.first_codebook_weight_multiplier
+        remat = self.args.gradient_checkpointing
+        ref_params = self.reference_model.params
+        core = {"tokens": batch["tokens"], "masks": batch["masks"],
+                "loss_masks": batch["loss_masks"]}
+
+        kl_reference = compute_loss(ref_params, args, core, per_sample=True,
+                                    cause_mismatch=True,
+                                    first_codebook_weight_multiplier=fcw)
+        kl_policy = compute_loss(params, args, core, per_sample=True,
+                                 cause_mismatch=True,
+                                 first_codebook_weight_multiplier=fcw,
+                                 remat=remat)
+        reference = compute_loss(ref_params, args, core, per_sample=True,
+                                 first_codebook_weight_multiplier=fcw)
+        policy = compute_loss(params, args, core, per_sample=True,
+                              first_codebook_weight_multiplier=fcw,
+                              remat=remat)
+
+        reward = policy - reference
+        kl = jnp.clip(jnp.mean(kl_policy - kl_reference), 0.0, None)
+        penalized_reward = reward - kl
+
+        preferences = batch["preferences"]
+        desirable = (preferences > 0).astype(jnp.float32)
+        undesirable = (preferences < 0).astype(jnp.float32)
+        losses = (
+            self.desirable_weight * desirable
+            * (1.0 - jax.nn.sigmoid(self.beta * penalized_reward))
+            + self.undesirable_weight * undesirable
+            * (1.0 - jax.nn.sigmoid(-self.beta * penalized_reward))
+        )
+        return losses.mean()

@@ -39,7 +39,7 @@ from csm_mlx_tpu.models.csm import CSM, ModelArgs, embed_audio, masked_input_emb
 from csm_mlx_tpu.models.llama import llama_forward
 from csm_mlx_tpu.ops.attention import NEG_INF, causal_mask_bias
 from csm_mlx_tpu.ops.kv_cache import KVCache
-from csm_mlx_tpu.ops.layers import linear
+from csm_mlx_tpu.ops.layers import emb_table, linear
 from csm_mlx_tpu.ops.rope import rope_cache_for
 from csm_mlx_tpu.ops.sampling import SamplerConfig, apply_processors
 
@@ -163,7 +163,7 @@ def _decode_frame(
     # --- codebooks 2..31: lax.scan over single-token decoder steps ------
     def body(carry, i):
         dcache, key, prev = carry
-        emb = params["audio_embeddings"]["weight"][
+        emb = emb_table(params["audio_embeddings"])[
             prev + (i - 1) * args.n_audio_vocab
         ].astype(last_hidden.dtype)
         x = linear(params["projection"], emb[:, None, :])

@@ -28,6 +28,7 @@ from csm_mlx_tpu.config import (
     LlamaConfig,
 )
 from csm_mlx_tpu.models.llama import init_llama_params
+from csm_mlx_tpu.ops.layers import emb_table
 
 Params = Dict[str, Any]
 
@@ -109,7 +110,7 @@ def init_csm_params(key: jax.Array, args: ModelArgs, dtype=jnp.float32) -> Param
 
 def embed_audio(params: Params, args: ModelArgs, codebook: int | jax.Array, tokens: jax.Array) -> jax.Array:
     """Embedding of `tokens` under codebook #`codebook` (models.py:79-80)."""
-    return params["audio_embeddings"]["weight"][tokens + codebook * args.n_audio_vocab]
+    return emb_table(params["audio_embeddings"])[tokens + codebook * args.n_audio_vocab]
 
 
 def embed_tokens(params: Params, args: ModelArgs, tokens: jax.Array) -> jax.Array:
@@ -118,9 +119,9 @@ def embed_tokens(params: Params, args: ModelArgs, tokens: jax.Array) -> jax.Arra
     Slot 32 is the text token; slots 0..31 are audio tokens offset into the
     fused table (models.py:82-92).
     """
-    text_embeds = params["text_embeddings"]["weight"][tokens[:, :, -1]][:, :, None, :]
+    text_embeds = emb_table(params["text_embeddings"])[tokens[:, :, -1]][:, :, None, :]
     offsets = jnp.arange(args.n_audio_codebooks, dtype=tokens.dtype) * args.n_audio_vocab
-    audio_embeds = params["audio_embeddings"]["weight"][tokens[:, :, :-1] + offsets]
+    audio_embeds = emb_table(params["audio_embeddings"])[tokens[:, :, :-1] + offsets]
     return jnp.concatenate([audio_embeds, text_embeds], axis=-2)
 
 

@@ -63,10 +63,13 @@ def sdpa(
             bias = mask_bias[None, None, None]
         elif mask_bias.ndim == 3:  # (B, S_q, S_k)
             bias = mask_bias[:, None, None]
-        elif mask_bias.ndim == 4:  # (B, H, S_q, S_k) with H in {1, n_heads}
+        elif mask_bias.ndim == 4:  # (B|1, H|1, S_q, S_k), H in {1, n_heads}
             h = mask_bias.shape[1]
-            bias = mask_bias.reshape(b, n_kv if h == n_heads else 1,
-                                     group if h == n_heads else 1, s_q, -1)
+            if h == n_heads:
+                bm = mask_bias.shape[0]
+                bias = mask_bias.reshape(bm, n_kv, group, s_q, -1)
+            else:
+                bias = mask_bias[:, :, None]  # broadcast over (n_kv, group)
         else:
             bias = mask_bias
         logits = logits + bias

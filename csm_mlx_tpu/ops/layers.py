@@ -30,9 +30,19 @@ def linear(params: Params, x: jax.Array) -> jax.Array:
     return y
 
 
+def emb_table(params: Params) -> jax.Array:
+    """Effective embedding table, honoring LoRA adapters if present
+    (finetune/lora.py adds lora_a/lora_b to embedding param dicts)."""
+    w = params["weight"]
+    if "lora_a" in params:
+        scale = params["lora_scale"] if "lora_scale" in params else 1.0
+        w = w + (scale * (params["lora_b"] @ params["lora_a"])).astype(w.dtype)
+    return w
+
+
 def embedding(params: Params, ids: jax.Array) -> jax.Array:
     """Row gather from an embedding table stored (vocab, dim)."""
-    return params["weight"][ids]
+    return emb_table(params)[ids]
 
 
 def rms_norm(params: Params, x: jax.Array, eps: float) -> jax.Array:

@@ -1,0 +1,101 @@
+"""LoRA/DoRA adapter tests: structure, freezing, fuse, file roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from conftest import tiny_args
+from csm_mlx_tpu.finetune.lora import (
+    effective_weight,
+    fuse_lora,
+    linear_to_lora_layers,
+    load_adapters,
+    save_adapters,
+    trainable_filter,
+)
+from csm_mlx_tpu.finetune.trainer import CSMTrainer, TrainArgs
+from csm_mlx_tpu.loaders import tree_to_flat
+from csm_mlx_tpu.models.csm import CSM
+
+
+def _lora_model(seed=0, use_dora=False, rank=2):
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(seed))
+    linear_to_lora_layers(model, {"rank": rank, "scale": 2.0, "dropout": 0.0,
+                                  "keys": ["attn"]}, use_dora=use_dora)
+    return model
+
+
+def test_lora_structure_added():
+    model = _lora_model()
+    flat = tree_to_flat(model.params)
+    lora_keys = [k for k in flat if k.endswith("lora_a")]
+    # q/k/v/o + gate/up/down on every layer of backbone (2) + decoder (2)
+    assert len(lora_keys) == 7 * 4
+    assert any(k.startswith("backbone.") for k in lora_keys)
+    assert any(k.startswith("decoder.") for k in lora_keys)
+
+
+def test_lora_zero_init_preserves_forward(tiny_model):
+    """With B=0, the adapted weight equals the base weight."""
+    model = _lora_model(seed=42)
+    p = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    w_eff = effective_weight(p)
+    np.testing.assert_allclose(np.asarray(w_eff), np.asarray(p["weight"]),
+                               rtol=1e-6)
+
+
+def test_dora_init_preserves_forward():
+    model = _lora_model(seed=1, use_dora=True)
+    p = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    w_eff = effective_weight(p)
+    np.testing.assert_allclose(np.asarray(w_eff), np.asarray(p["weight"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_lora_training_only_updates_adapters(tmp_path):
+    from test_trainer import _fake_ds
+
+    model = _lora_model(seed=2)
+    before = {k: np.asarray(v).copy() for k, v in
+              tree_to_flat(model.params).items()}
+    trainer = CSMTrainer(TrainArgs(
+        model=model, optimizer=optax.adam(1e-2), output_dir=tmp_path / "lora",
+        ckpt_freq=0, trainable_filter=trainable_filter,
+        only_save_trainable_params=True, learning_rate=1e-2,
+    ))
+    ds = _fake_ds(model.args)
+    trainer.train_step(ds.get_batch([0, 1]))
+    after = tree_to_flat(model.params)
+    changed = [k for k in before
+               if not np.allclose(before[k], np.asarray(after[k]))]
+    assert changed, "something must have trained"
+    for k in changed:
+        assert trainable_filter(k), f"frozen param {k} changed"
+
+
+def test_adapter_save_load_roundtrip(tmp_path):
+    model = _lora_model(seed=3)
+    # perturb adapters so the roundtrip is non-trivial
+    p = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    p["lora_b"] = jnp.ones_like(p["lora_b"]) * 0.1
+    cfg = {"rank": 2, "scale": 2.0, "dropout": 0.0, "keys": ["attn"]}
+    save_adapters(model, str(tmp_path / "adapters"), cfg)
+
+    fresh = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
+    load_adapters(fresh, str(tmp_path / "adapters"))
+    q = fresh.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    np.testing.assert_allclose(np.asarray(q["lora_b"]),
+                               np.asarray(p["lora_b"]), rtol=1e-6)
+
+
+def test_fuse_lora_preserves_effective_weight():
+    model = _lora_model(seed=4)
+    p = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    p["lora_b"] = jnp.ones_like(p["lora_b"]) * 0.05
+    want = np.asarray(effective_weight(p))
+    fuse_lora(model)
+    q = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    assert "lora_a" not in q
+    np.testing.assert_allclose(np.asarray(q["weight"]), want, rtol=1e-6)

@@ -1,0 +1,191 @@
+"""Loss + trainer tests: semantics checks, checkpoint/resume parity,
+DPO/KTO smoke, LoRA freezing."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from conftest import tiny_args
+from csm_mlx_tpu.finetune.loss import compute_loss
+from csm_mlx_tpu.finetune.trainer import (
+    CSMTrainer,
+    DPOArgs,
+    DPOTrainer,
+    KTOArgs,
+    KTOTrainer,
+    TrainArgs,
+)
+from csm_mlx_tpu.models.csm import CSM
+
+
+def _batch(args, b=2, s=6, seed=0):
+    rng = np.random.RandomState(seed)
+    k = args.n_audio_codebooks + 1
+    tokens = rng.randint(0, args.n_audio_vocab, size=(b, s, k)).astype(np.int32)
+    masks = np.ones((b, s, k), dtype=np.int32)
+    # last row of each sample is padding
+    masks[:, -1] = 0
+    loss_masks = np.ones((b, s, k), dtype=np.int32)
+    return {"tokens": tokens, "masks": masks, "loss_masks": loss_masks}
+
+
+@pytest.fixture(scope="module")
+def model():
+    return CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(0))
+
+
+def test_loss_finite_and_positive(model):
+    batch = {k: jnp.asarray(v) for k, v in _batch(model.args).items()}
+    loss = compute_loss(model.params, model.args, batch)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_loss_fcw_scaling(model):
+    """c0 term scales linearly with first_codebook_weight_multiplier."""
+    batch = {k: jnp.asarray(v) for k, v in _batch(model.args).items()}
+    l1 = float(compute_loss(model.params, model.args, batch,
+                            first_codebook_weight_multiplier=1.0))
+    l2 = float(compute_loss(model.params, model.args, batch,
+                            first_codebook_weight_multiplier=2.0))
+    l0 = float(compute_loss(model.params, model.args, batch,
+                            first_codebook_weight_multiplier=0.0))
+    np.testing.assert_allclose(l2 - l1, l1 - l0, rtol=1e-4)
+
+
+def test_loss_per_sample_matches_mean_shape(model):
+    batch = {k: jnp.asarray(v) for k, v in _batch(model.args).items()}
+    ps = compute_loss(model.params, model.args, batch, per_sample=True)
+    assert ps.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(ps)))
+
+
+def test_loss_mask_respected(model):
+    """Zeroing a sample's loss mask must change the total loss."""
+    b = _batch(model.args)
+    full = float(compute_loss(model.params, model.args,
+                              {k: jnp.asarray(v) for k, v in b.items()}))
+    b2 = dict(b)
+    lm = b["loss_masks"].copy()
+    lm[0] = 0
+    b2["loss_masks"] = lm
+    masked = float(compute_loss(model.params, model.args,
+                                {k: jnp.asarray(v) for k, v in b2.items()}))
+    assert abs(full - masked) > 1e-6
+
+
+def test_cause_mismatch_changes_loss(model):
+    batch = {k: jnp.asarray(v) for k, v in _batch(model.args).items()}
+    a = float(compute_loss(model.params, model.args, batch))
+    b = float(compute_loss(model.params, model.args, batch,
+                           cause_mismatch=True))
+    assert abs(a - b) > 1e-6
+
+
+def test_decoder_loss_fraction_runs(model):
+    batch = {k: jnp.asarray(v) for k, v in _batch(model.args).items()}
+    loss = compute_loss(model.params, model.args, batch,
+                        decoder_loss_fraction=0.5,
+                        rng=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
+from csm_mlx_tpu.finetune.dataset import CSMDataset  # noqa: E402
+
+
+class _FakeDataset(CSMDataset):
+    """In-memory pre-tokenized dataset (skips Mimi/text tokenizers)."""
+
+    def __init__(self, args, n=4):
+        super().__init__([])
+        self.items = [_batch(args, b=1, s=6, seed=i) for i in range(n)]
+
+    def __len__(self):
+        return len(self.items)
+
+    def get_batch(self, indices):
+        parts = [self.items[i] for i in indices]
+        return {k: np.concatenate([p[k] for p in parts], axis=0)
+                for k in parts[0]}
+
+
+def _fake_ds(args, n=4):
+    return _FakeDataset(args, n)
+
+
+def test_sft_training_reduces_loss(tmp_path):
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(1))
+    args = TrainArgs(
+        model=model,
+        optimizer=optax.adam(1e-3),
+        output_dir=tmp_path / "run",
+        ckpt_freq=0,
+        learning_rate=1e-3,
+    )
+    trainer = CSMTrainer(args)
+    ds = _fake_ds(model.args)
+    batch = ds.get_batch([0, 1])
+    losses = [trainer.train_step(batch) for _ in range(5)]
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_save_and_resume(tmp_path):
+    out = tmp_path / "ckpt_run"
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(2))
+    args = TrainArgs(model=model, optimizer=optax.adam(1e-3), output_dir=out,
+                     ckpt_freq=1, log_freq=1, learning_rate=1e-3)
+    trainer = CSMTrainer(args)
+    ds = _fake_ds(model.args)
+    trainer.train(ds, batch_size=2, epochs=1, shuffle=False)
+    step_after = trainer.state.step
+    assert (out / "latest.safetensors").exists()
+    assert (out / "trainer_state.json").exists()
+    assert (out / f"step_{step_after}").exists()
+
+    # Fresh trainer on the same dir resumes state.
+    model2 = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(99))
+    trainer2 = CSMTrainer(TrainArgs(model=model2, optimizer=optax.adam(1e-3),
+                                    output_dir=out, learning_rate=1e-3))
+    assert trainer2.state.step == step_after
+    assert trainer2.state.epoch == 1
+    # Weights restored (same params as saved, not the fresh random ones).
+    np.testing.assert_allclose(
+        np.asarray(model2.params["projection"]["weight"]),
+        np.asarray(model.params["projection"]["weight"]), rtol=1e-6,
+    )
+
+
+def test_dpo_trainer_step(tmp_path):
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
+    trainer = DPOTrainer(DPOArgs(model=model, optimizer=optax.sgd(1e-3),
+                                 output_dir=tmp_path / "dpo", ckpt_freq=0,
+                                 beta=0.1))
+    b = _batch(model.args, b=2, s=5, seed=7)
+    batch = {}
+    for k, v in b.items():
+        batch[f"chosen_{k}"] = v
+        batch[f"rejected_{k}"] = _batch(model.args, b=2, s=5, seed=8)[k]
+    loss = trainer.train_step(batch)
+    assert np.isfinite(loss)
+
+
+def test_kto_trainer_step(tmp_path):
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(4))
+    ref = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(5))
+    trainer = KTOTrainer(KTOArgs(model=model, optimizer=optax.sgd(1e-3),
+                                 output_dir=tmp_path / "kto", ckpt_freq=0,
+                                 reference_model=ref, beta=0.1))
+    b = _batch(model.args, b=2, s=5, seed=9)
+    b["preferences"] = np.asarray([1, -1], dtype=np.int32)
+    loss = trainer.train_step(b)
+    assert np.isfinite(loss)
+
+
+def test_kto_requires_reference(tmp_path):
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(6))
+    with pytest.raises(ValueError, match="Reference model"):
+        KTOTrainer(KTOArgs(model=model, optimizer=optax.sgd(1e-3),
+                           output_dir=tmp_path / "kto2"))
