@@ -1,0 +1,472 @@
+"""Real-time voice-to-voice chat pipeline.
+
+Capability parity with `/root/reference/run_streaming_csm_mlx.py` (1,364
+lines): mic -> streaming STT -> LLM -> streaming CSM TTS -> speaker, with
+barge-in interruption, cooldown gating, a rolling conversation-context
+window, latency bookkeeping, and graceful shutdown. Structured as an
+asyncio pipeline of three workers connected by queues:
+
+  [audio-in thread] -> audio_in_q -> vad_stt_worker -> stt_out_q
+      -> llm_worker -> llm_out_q -> tts_worker -> audio-out bridge
+
+Differences from the reference, by design:
+- Audio I/O and the LLM are *pluggable backends* (`AudioIO`, `LLMBackend`)
+  because sounddevice / faster-whisper / a local chat LLM are not part of
+  this image; `NullAudioIO` + any text-callable work for tests and
+  batch-mode usage. The pipeline semantics (the hard part) are identical.
+- TTS runs through this framework's `stream_generate` on TPU.
+
+Reference anchors: ConversationState (run_streaming_csm_mlx.py:111-226),
+interruption fade (:163-205, :1010-1019), sentence splitting (:921-937),
+garbage filter (:667-721), rolling 6-segment context (:102, :1060-1073),
+cooldown (:1142-1146), latency threshold (:74-77).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import re
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Protocol
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+LLM_RESPONSE_END = "<LLM_RESPONSE_END>"       # sentinel (reference :105)
+MAX_CONTEXT_SEGMENTS = 6                       # rolling window (:102)
+LATENCY_THRESHOLD = 7.0                        # acceptable response s (:77)
+TTS_TIMEOUT_S = 30.0                           # per-segment timeout (:992)
+COOLDOWN_S = 0.5                               # post-TTS mic cooldown (:1142)
+FADE_CHUNKS = 10                               # barge-in fade-out (:170-205)
+STT_SAMPLE_RATE = 16000
+TTS_SAMPLE_RATE = 24000
+
+
+# ---------------------------------------------------------------------------
+# Pluggable backends
+# ---------------------------------------------------------------------------
+
+
+class AudioIO(Protocol):
+    """Audio device abstraction (sounddevice in production)."""
+
+    def start(self, on_input: Callable[[np.ndarray], None]) -> None: ...
+    def play(self, chunk: np.ndarray) -> None: ...
+    def stop(self) -> None: ...
+
+
+class NullAudioIO:
+    """Collects output audio; input is injected manually (tests/batch)."""
+
+    def __init__(self):
+        self.played: List[np.ndarray] = []
+        self._on_input = None
+
+    def start(self, on_input):
+        self._on_input = on_input
+
+    def feed(self, chunk: np.ndarray):
+        if self._on_input:
+            self._on_input(chunk)
+
+    def play(self, chunk: np.ndarray):
+        self.played.append(np.asarray(chunk))
+
+    def stop(self):
+        pass
+
+
+class SoundDeviceIO:
+    """Real mic/speaker backend (requires the sounddevice package)."""
+
+    def __init__(self, in_rate=STT_SAMPLE_RATE, out_rate=TTS_SAMPLE_RATE,
+                 block_ms=50):
+        import sounddevice as sd
+
+        self._sd = sd
+        self.in_rate = in_rate
+        self.out_rate = out_rate
+        self.block = int(in_rate * block_ms / 1000)
+        self._in_stream = None
+        self._out_stream = None
+        self._out_buffer = np.zeros((0,), dtype=np.float32)
+        self._lock = __import__("threading").Lock()
+
+    def start(self, on_input):
+        sd = self._sd
+
+        def in_cb(indata, frames, t, status):
+            on_input(indata[:, 0].copy())
+
+        def out_cb(outdata, frames, t, status):
+            with self._lock:
+                take = min(frames, len(self._out_buffer))
+                outdata[:take, 0] = self._out_buffer[:take]
+                outdata[take:, 0] = 0.0
+                self._out_buffer = self._out_buffer[take:]
+
+        self._in_stream = sd.InputStream(
+            samplerate=self.in_rate, channels=1, blocksize=self.block,
+            callback=in_cb)
+        self._out_stream = sd.OutputStream(
+            samplerate=self.out_rate, channels=1, callback=out_cb)
+        self._in_stream.start()
+        self._out_stream.start()
+
+    def play(self, chunk):
+        with self._lock:
+            self._out_buffer = np.append(self._out_buffer,
+                                         np.asarray(chunk, dtype=np.float32))
+
+    def stop(self):
+        for s in (self._in_stream, self._out_stream):
+            if s is not None:
+                s.stop()
+                s.close()
+
+
+LLMBackend = Callable[[List[dict]], str]
+"""messages [{role, content}] -> assistant reply text."""
+
+
+def echo_llm(messages: List[dict]) -> str:
+    """Fallback LLM: repeat the user (for tests / wiring checks)."""
+    user = [m for m in messages if m["role"] == "user"]
+    return f"You said: {user[-1]['content']}" if user else "Hello!"
+
+
+# ---------------------------------------------------------------------------
+# Text hygiene (reference :667-721, :627-664)
+# ---------------------------------------------------------------------------
+
+_CONTROL_TOKEN_RE = re.compile(r"<\|?[a-zA-Z_]+\|?>|\[/?INST\]|</?s>")
+_SENTENCE_END_RE = re.compile(r"([.!?…][\"')\]]?)(\s+|$)")
+
+
+def scrub_llm_text(text: str) -> str:
+    return _CONTROL_TOKEN_RE.sub("", text).strip()
+
+
+def is_likely_garbage(text: str) -> bool:
+    """Heuristic output filter (reference is_likely_garbage, :667-721)."""
+    t = text.strip()
+    if not t:
+        return True
+    if len(t) < 2:
+        return True
+    alpha = sum(c.isalpha() or c.isspace() for c in t)
+    if alpha / len(t) < 0.5:
+        return True
+    words = t.split()
+    if len(words) >= 6:
+        uniq = len(set(w.lower() for w in words))
+        if uniq / len(words) < 0.34:  # heavy repetition
+            return True
+    return False
+
+
+def split_sentences(text: str) -> List[str]:
+    """Sentence-boundary split for incremental TTS (reference :921-937)."""
+    out, pos = [], 0
+    for m in _SENTENCE_END_RE.finditer(text):
+        out.append(text[pos : m.end(1)].strip())
+        pos = m.end()
+    rest = text[pos:].strip()
+    if rest:
+        out.append(rest)
+    return [s for s in out if s]
+
+
+# ---------------------------------------------------------------------------
+# Conversation state (reference :111-226)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ConversationState:
+    audio_in_q: asyncio.Queue = field(default_factory=asyncio.Queue)
+    stt_out_q: asyncio.Queue = field(default_factory=asyncio.Queue)
+    llm_out_q: asyncio.Queue = field(default_factory=asyncio.Queue)
+    interruption: asyncio.Event = field(default_factory=asyncio.Event)
+    shutdown: asyncio.Event = field(default_factory=asyncio.Event)
+    tts_speaking: bool = False
+    cooldown_until: float = 0.0
+    messages: List[dict] = field(default_factory=list)
+    context_segments: List = field(default_factory=list)
+    llm_start: float = 0.0
+
+    def record_llm_start(self):
+        self.llm_start = time.monotonic()
+
+    def record_response_done(self):
+        elapsed = time.monotonic() - self.llm_start
+        if elapsed > LATENCY_THRESHOLD:
+            logger.warning("Response latency %.1fs exceeded threshold %.1fs",
+                           elapsed, LATENCY_THRESHOLD)
+        return elapsed
+
+
+# ---------------------------------------------------------------------------
+# Workers
+# ---------------------------------------------------------------------------
+
+
+async def vad_stt_worker(state: ConversationState, stt, executor) -> None:
+    """Drain mic audio; gate on tts_speaking/cooldown; commit utterances
+    (reference :354-519)."""
+    loop = asyncio.get_running_loop()
+    silence_run = 0.0
+    speech_seen = False
+    while not state.shutdown.is_set():
+        try:
+            chunk = await asyncio.wait_for(state.audio_in_q.get(), timeout=0.25)
+        except asyncio.TimeoutError:
+            if speech_seen and silence_run > 0.7:
+                text = await loop.run_in_executor(executor, stt.finish)
+                speech_seen = False
+                silence_run = 0.0
+                if text and not is_likely_garbage(text):
+                    await state.stt_out_q.put(text)
+            continue
+        if chunk is None:
+            break
+        now = time.monotonic()
+        if state.tts_speaking:
+            # mic activity while speaking -> barge-in (reference :1010-1019)
+            if float(np.abs(chunk).mean()) > 0.02:
+                state.interruption.set()
+            continue  # discard stale audio while TTS is speaking
+        if now < state.cooldown_until:
+            continue
+        rms = float(np.sqrt(np.mean(np.square(chunk)))) if len(chunk) else 0.0
+        if rms > 0.01:
+            speech_seen = True
+            silence_run = 0.0
+        else:
+            silence_run += len(chunk) / STT_SAMPLE_RATE
+        stt.insert_audio_chunk(chunk)
+        if speech_seen:
+            text = await loop.run_in_executor(executor, stt.process_iter)
+            if text and not is_likely_garbage(text):
+                await state.stt_out_q.put(text)
+            if silence_run > 0.7:
+                text = await loop.run_in_executor(executor, stt.finish)
+                speech_seen = False
+                if text and not is_likely_garbage(text):
+                    await state.stt_out_q.put(text)
+
+
+async def llm_worker(state: ConversationState, llm: LLMBackend,
+                     executor) -> None:
+    """Accumulate user text, call the LLM, emit sentences + END sentinel
+    (reference :523-664)."""
+    loop = asyncio.get_running_loop()
+    pending: List[str] = []
+    while not state.shutdown.is_set():
+        try:
+            text = await asyncio.wait_for(state.stt_out_q.get(), timeout=0.25)
+        except asyncio.TimeoutError:
+            if not pending:
+                continue
+            text = None
+        if text is not None:
+            pending.append(text)
+            # keep accumulating while more STT text is queued
+            if not state.stt_out_q.empty():
+                continue
+        user_text = " ".join(pending).strip()
+        pending = []
+        if not user_text:
+            continue
+        state.record_llm_start()
+        state.messages.append({"role": "user", "content": user_text})
+        reply = await loop.run_in_executor(executor, llm, list(state.messages))
+        reply = scrub_llm_text(reply)
+        if is_likely_garbage(reply):
+            logger.warning("Dropping garbage LLM output: %r", reply[:80])
+            state.messages.pop()
+            continue
+        state.messages.append({"role": "assistant", "content": reply})
+        for sentence in split_sentences(reply):
+            await state.llm_out_q.put(sentence)
+        await state.llm_out_q.put(LLM_RESPONSE_END)
+
+
+async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
+                     executor, speaker: int = 0) -> None:
+    """Per-sentence streaming TTS with fade-out barge-in and rolling context
+    (reference :875-1197)."""
+    loop = asyncio.get_running_loop()
+    while not state.shutdown.is_set():
+        try:
+            sentence = await asyncio.wait_for(state.llm_out_q.get(), timeout=0.25)
+        except asyncio.TimeoutError:
+            continue
+        if sentence == LLM_RESPONSE_END:
+            state.record_response_done()
+            state.cooldown_until = time.monotonic() + COOLDOWN_S
+            continue
+
+        state.tts_speaking = True
+        state.interruption.clear()
+        chunks: List[np.ndarray] = []
+        t0 = time.monotonic()
+        interrupted = False
+
+        def generate():
+            return tts_stream_fn(sentence, speaker, list(state.context_segments))
+
+        gen = await loop.run_in_executor(executor, generate)
+        fade_remaining = -1
+        while True:
+            if time.monotonic() - t0 > TTS_TIMEOUT_S:
+                logger.warning("TTS generation timeout for segment")
+                break
+            chunk = await loop.run_in_executor(executor,
+                                               lambda: next(gen, None))
+            if chunk is None:
+                break
+            chunk = np.asarray(chunk, dtype=np.float32).reshape(-1)
+            if state.interruption.is_set() and fade_remaining < 0:
+                fade_remaining = FADE_CHUNKS
+                interrupted = True
+            if fade_remaining >= 0:
+                gain = max(fade_remaining / FADE_CHUNKS, 0.0)
+                ramp = np.linspace(gain, max(gain - 1.0 / FADE_CHUNKS, 0.0),
+                                   len(chunk), dtype=np.float32)
+                chunk = chunk * ramp
+                fade_remaining -= 1
+            audio_io.play(chunk)
+            chunks.append(chunk)
+            if fade_remaining == 0:
+                break
+
+        state.tts_speaking = False
+        state.cooldown_until = time.monotonic() + COOLDOWN_S
+        if interrupted:
+            # flush queued sentences from this response
+            while not state.llm_out_q.empty():
+                item = state.llm_out_q.get_nowait()
+                if item == LLM_RESPONSE_END:
+                    break
+            state.interruption.clear()
+            continue
+        if chunks:
+            from csm_mlx_tpu.segment import Segment
+
+            audio = np.concatenate(chunks)
+            state.context_segments.append(Segment(speaker, sentence, audio))
+            # rolling window (reference :1060-1073)
+            del state.context_segments[:-MAX_CONTEXT_SEGMENTS]
+
+
+# ---------------------------------------------------------------------------
+# Pipeline wiring
+# ---------------------------------------------------------------------------
+
+
+class VoiceChatPipeline:
+    """Owns the workers + threads; `run()` blocks until shutdown
+    (reference main_async, :1200-1309)."""
+
+    def __init__(self, stt, llm: LLMBackend, tts_stream_fn,
+                 audio_io: Optional[AudioIO] = None, speaker: int = 0,
+                 max_workers: int = 4):
+        self.stt = stt
+        self.llm = llm
+        self.tts_stream_fn = tts_stream_fn
+        self.audio_io = audio_io or NullAudioIO()
+        self.speaker = speaker
+        self.state = ConversationState()
+        self.executor = ThreadPoolExecutor(max_workers=max_workers)
+
+    async def run_async(self, duration: Optional[float] = None) -> None:
+        state = self.state
+        loop = asyncio.get_running_loop()
+
+        def on_input(chunk: np.ndarray):
+            loop.call_soon_threadsafe(state.audio_in_q.put_nowait, chunk)
+
+        self.audio_io.start(on_input)
+        tasks = [
+            asyncio.create_task(vad_stt_worker(state, self.stt, self.executor)),
+            asyncio.create_task(llm_worker(state, self.llm, self.executor)),
+            asyncio.create_task(tts_worker(state, self.tts_stream_fn,
+                                           self.audio_io, self.executor,
+                                           self.speaker)),
+        ]
+        try:
+            if duration is not None:
+                await asyncio.sleep(duration)
+                state.shutdown.set()
+            await asyncio.gather(*tasks)
+        finally:
+            state.shutdown.set()
+            for t in tasks:
+                t.cancel()
+            self.audio_io.stop()
+            self.executor.shutdown(wait=False)
+
+    def run(self, duration: Optional[float] = None) -> None:
+        asyncio.run(self.run_async(duration))
+
+
+def build_tts_stream_fn(model, **gen_kwargs):
+    """Bind csm_mlx_tpu.stream_generate to a (text, speaker, context) call."""
+    from csm_mlx_tpu.generation import stream_generate
+
+    def fn(text: str, speaker: int, context):
+        return stream_generate(model, text, speaker, context, **gen_kwargs)
+
+    return fn
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Real-time voice chat (mic -> STT -> LLM -> CSM TTS)")
+    parser.add_argument("--weight", default="senstella/csm-1b-mlx")
+    parser.add_argument("--adapter-file", default=None)
+    parser.add_argument("--speaker", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.8)
+    parser.add_argument("--quantize", action="store_true")
+    parser.add_argument("--quantize-bits", type=int, default=4)
+    parser.add_argument("--quantize-group-size", type=int, default=64)
+    parser.add_argument("--whisper-model", default="large-v3")
+    parser.add_argument("--stt-language", default="en")
+    parser.add_argument("--max-audio-length-ms", type=float, default=10_000)
+    parser.add_argument("--duration", type=float, default=None)
+    args = parser.parse_args()
+
+    from csm_mlx_tpu.cli.generate import parse_weight_argument
+    from csm_mlx_tpu.models.csm import CSM, csm_1b
+
+    model = CSM(csm_1b())
+    model.load_weights(parse_weight_argument(args.weight))
+    if args.adapter_file:
+        from csm_mlx_tpu.finetune.lora import load_adapters
+
+        load_adapters(model, args.adapter_file)
+    if args.quantize:
+        from csm_mlx_tpu.ops.quant import quantize_model
+
+        quantize_model(model, bits=args.quantize_bits,
+                       group_size=args.quantize_group_size)
+
+    from csm_mlx_tpu.apps.stt import FasterWhisperASR, OnlineASRProcessor
+
+    stt = OnlineASRProcessor(FasterWhisperASR(args.whisper_model,
+                                              language=args.stt_language))
+    tts = build_tts_stream_fn(model, temperature=args.temperature,
+                              max_audio_length_ms=args.max_audio_length_ms)
+    audio_io = SoundDeviceIO()
+    VoiceChatPipeline(stt, echo_llm, tts, audio_io,
+                      speaker=args.speaker).run(args.duration)
+
+
+if __name__ == "__main__":
+    main()

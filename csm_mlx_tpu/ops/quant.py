@@ -1,0 +1,253 @@
+"""Weight-only int8/int4 grouped affine quantization.
+
+Capability parity with the reference's `nn.quantize(model, bits, group_size)`
+path (README.md:92-128, `run_streaming_csm_mlx.py:811-818`, defaults 4-bit /
+group 64): every Linear weight W (out, in) is stored as
+
+  q      : uint  codes in [0, 2^bits-1]  — int8 array; 4-bit packs two codes
+           per byte along the input axis
+  scales : (out, in/group) fp16-ish      — per-group scale
+  biases : (out, in/group)               — per-group zero offset
+
+with W ~= scales * q + biases (MLX affine convention, so MLX-quantized
+checkpoints map over losslessly).
+
+Why this is the TPU perf lever: generation is HBM-bandwidth-bound — the
+31-step decoder inner loop re-reads every decoder weight per frame
+(SURVEY.md §6). int8 halves and int4 quarters that traffic. The matmul runs
+through a Pallas kernel that streams int8 codes HBM->VMEM, dequantizes in
+registers, and feeds the MXU — the dequantized weight never touches HBM.
+A pure-XLA fallback (materialized dequant) keeps CPU/debug paths working.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_GROUP_SIZE = 64
+DEFAULT_BITS = 4
+
+
+# ---------------------------------------------------------------------------
+# Quantize / dequantize (host or device)
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight(
+    w: jax.Array, bits: int = DEFAULT_BITS, group_size: int = DEFAULT_GROUP_SIZE
+) -> Dict[str, jax.Array]:
+    """(out, in) float -> {weight_q, scales, biases, (static) bits/group}."""
+    out_dim, in_dim = w.shape
+    assert in_dim % group_size == 0, (in_dim, group_size)
+    n_groups = in_dim // group_size
+    wf = jnp.asarray(w, dtype=jnp.float32).reshape(out_dim, n_groups, group_size)
+
+    w_max = wf.max(axis=-1)
+    w_min = wf.min(axis=-1)
+    n_levels = (1 << bits) - 1
+    scale = (w_max - w_min) / n_levels
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round((wf - w_min[..., None]) / scale[..., None]),
+                 0, n_levels).astype(jnp.uint8)
+    q = q.reshape(out_dim, in_dim)
+    if bits == 4:
+        q = (q[:, 0::2] | (q[:, 1::2] << 4)).astype(jnp.uint8)
+    return {
+        "weight_q": q.astype(jnp.int8 if bits == 8 else jnp.uint8)
+        if bits == 8 else q,
+        "scales": scale.astype(jnp.float32),
+        "biases": w_min.astype(jnp.float32),
+    }
+
+
+def _unpack4(q: jax.Array) -> jax.Array:
+    lo = (q & 0x0F).astype(jnp.uint8)
+    hi = (q >> 4).astype(jnp.uint8)
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(*q.shape[:-1], q.shape[-1] * 2)
+
+
+def dequantize_weight(qp: Dict[str, jax.Array], bits: int, group_size: int,
+                      dtype=jnp.bfloat16) -> jax.Array:
+    q = qp["weight_q"]
+    if bits == 4:
+        q = _unpack4(jnp.asarray(q, dtype=jnp.uint8))
+    else:
+        q = jnp.asarray(q, jnp.uint8) if q.dtype != jnp.uint8 else q
+    out_dim, in_dim = q.shape
+    n_groups = in_dim // group_size
+    qf = q.reshape(out_dim, n_groups, group_size).astype(jnp.float32)
+    w = qf * qp["scales"][..., None] + qp["biases"][..., None]
+    return w.reshape(out_dim, in_dim).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantized matmul — Pallas kernel (TPU) with XLA fallback
+# ---------------------------------------------------------------------------
+
+
+def _xla_quant_matmul(x, qp, bits, group_size):
+    w = dequantize_weight(qp, bits, group_size, dtype=x.dtype)
+    return jnp.einsum("...i,oi->...o", x, w)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size"))
+def _pallas_quant_matvec(x, weight_q, scales, biases, *, bits, group_size):
+    """x: (B, IN); weight_q: (OUT, IN[/2]); -> (B, OUT).
+
+    Grid over OUT tiles; x is small (decode-time activations) and lives
+    fully in VMEM; each program dequantizes its weight tile in-register and
+    issues one MXU matmul.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, in_dim = x.shape
+    out_dim = weight_q.shape[0]
+    n_groups = scales.shape[1]
+    tile_out = 256
+    while out_dim % tile_out != 0:
+        tile_out //= 2
+
+    def kernel(x_ref, q_ref, s_ref, z_ref, o_ref):
+        q = q_ref[...]
+        if bits == 4:
+            lo = (q & 0x0F).astype(jnp.uint8)
+            hi = (q >> 4).astype(jnp.uint8)
+            q = jnp.stack([lo, hi], axis=-1).reshape(tile_out, in_dim)
+        qf = q.reshape(tile_out, n_groups, group_size).astype(jnp.float32)
+        w = qf * s_ref[...][..., None] + z_ref[...][..., None]
+        w = w.reshape(tile_out, in_dim)
+        o_ref[...] = jax.lax.dot_general(
+            x_ref[...].astype(jnp.float32), w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+    q_cols = weight_q.shape[1]
+    grid = (out_dim // tile_out,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, in_dim), lambda i: (0, 0)),
+            pl.BlockSpec((tile_out, q_cols), lambda i: (i, 0)),
+            pl.BlockSpec((tile_out, n_groups), lambda i: (i, 0)),
+            pl.BlockSpec((tile_out, n_groups), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, tile_out), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, out_dim), x.dtype),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, weight_q, scales, biases)
+
+
+def quant_linear(params: Dict[str, Any], x: jax.Array,
+                 use_pallas: bool = True) -> jax.Array:
+    """Linear over a quantized param dict ({"weight_q","scales","biases"})."""
+    bits = params.get("_bits", DEFAULT_BITS)
+    group_size = params.get("_group_size", DEFAULT_GROUP_SIZE)
+    lead = x.shape[:-1]
+    in_dim = x.shape[-1]
+    xf = x.reshape(-1, in_dim)
+    small_batch = xf.shape[0] <= 64
+    if use_pallas and small_batch and jax.default_backend() != "cpu":
+        y = _pallas_quant_matvec(
+            xf, params["weight_q"], params["scales"], params["biases"],
+            bits=bits, group_size=group_size,
+        )
+    else:
+        y = _xla_quant_matmul(xf, params, bits, group_size)
+    y = y.reshape(*lead, -1)
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Model quantization API (parity with nn.quantize)
+# ---------------------------------------------------------------------------
+
+# Static metadata must not enter the traced pytree — carried in a wrapper
+# class below via aux keys starting with "_" that we strip before jit.
+
+
+class _StaticInt(int):
+    """An int that registers as a pytree-static leaf via aux data."""
+
+
+def _quantize_tree(tree: Any, bits: int, group_size: int,
+                   predicate) -> Any:
+    if isinstance(tree, dict):
+        if "weight" in tree and hasattr(tree["weight"], "ndim") and \
+                tree["weight"].ndim == 2:
+            w = tree["weight"]
+            if predicate(w) and w.shape[1] % group_size == 0:
+                qp = quantize_weight(w, bits, group_size)
+                new = {k: v for k, v in tree.items() if k != "weight"}
+                new.update(qp)
+                return new
+            return tree
+        return {k: _quantize_tree(v, bits, group_size, predicate)
+                for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_quantize_tree(v, bits, group_size, predicate) for v in tree]
+    return tree
+
+
+def quantize_model(model, bits: int = DEFAULT_BITS,
+                   group_size: int = DEFAULT_GROUP_SIZE,
+                   min_size: int = 1 << 16) -> None:
+    """Quantize every large-enough Linear weight in model.params in place.
+
+    Mirrors `nn.quantize(model, bits=..., group_size=...)` semantics the
+    reference exposes (README.md:111). Embeddings and norms are left alone
+    (their reads are row-gathers, not matmuls).
+    """
+    _patch_quant_linear(bits, group_size)
+
+    def predicate(w) -> bool:
+        return w.size >= min_size
+
+    # Only quantize the transformer stacks + projection/heads.
+    p = model.params
+    for key in ("backbone", "decoder", "projection", "codebook0_head"):
+        if key in p:
+            p[key] = _quantize_tree(p[key], bits, group_size, predicate)
+
+
+_QUANT_STATE = {"bits": DEFAULT_BITS, "group_size": DEFAULT_GROUP_SIZE}
+
+
+def _patch_quant_linear(bits: int, group_size: int) -> None:
+    """Make ops.layers.linear quantization-aware (idempotent)."""
+    _QUANT_STATE["bits"] = bits
+    _QUANT_STATE["group_size"] = group_size
+    from csm_mlx_tpu.ops import layers
+
+    current = layers.linear
+    if getattr(current, "_quant_aware", False):
+        return
+
+    def q_linear(params, x):
+        if "weight_q" in params:
+            p = dict(params)
+            p["_bits"] = _QUANT_STATE["bits"]
+            p["_group_size"] = _QUANT_STATE["group_size"]
+            return quant_linear(p, x)
+        return current(params, x)
+
+    q_linear._quant_aware = True
+    q_linear._lora_aware = getattr(current, "_lora_aware", False)
+    layers.linear = q_linear
+    import csm_mlx_tpu.finetune.loss as loss_mod
+    import csm_mlx_tpu.generation as gen_mod
+    import csm_mlx_tpu.models.llama as llama_mod
+
+    for mod in (gen_mod, loss_mod, llama_mod):
+        if hasattr(mod, "linear"):
+            mod.linear = q_linear

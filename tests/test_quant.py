@@ -1,0 +1,94 @@
+"""Quantization tests: round-trip accuracy, matmul parity, model-level API."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import tiny_args
+from csm_mlx_tpu.ops.quant import (
+    _xla_quant_matmul,
+    dequantize_weight,
+    quant_linear,
+    quantize_model,
+    quantize_weight,
+)
+
+
+def test_quantize_roundtrip_8bit():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(32, 128).astype(np.float32))
+    qp = quantize_weight(w, bits=8, group_size=64)
+    assert qp["weight_q"].shape == (32, 128)
+    assert qp["scales"].shape == (32, 2)
+    back = dequantize_weight(qp, 8, 64, dtype=jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    # 8-bit affine per 64-group: error < half a step.
+    step = np.asarray(qp["scales"]).max()
+    assert err <= step * 0.51
+
+
+def test_quantize_roundtrip_4bit_packing():
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(16, 128).astype(np.float32))
+    qp = quantize_weight(w, bits=4, group_size=64)
+    assert qp["weight_q"].shape == (16, 64)  # packed two per byte
+    back = dequantize_weight(qp, 4, 64, dtype=jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    step = np.asarray(qp["scales"]).max()
+    assert err <= step * 0.51
+
+
+def test_quant_matmul_matches_dequant():
+    rng = np.random.RandomState(2)
+    w = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+    for bits in (8, 4):
+        qp = quantize_weight(w, bits=bits, group_size=64)
+        wd = dequantize_weight(qp, bits, 64, dtype=jnp.float32)
+        want = np.asarray(x @ wd.T)
+        got = np.asarray(_xla_quant_matmul(x, qp, bits, 64))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_quant_linear_dispatch():
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    x = jnp.asarray(rng.randn(1, 128).astype(np.float32))
+    qp = quantize_weight(w, bits=8, group_size=64)
+    qp = dict(qp, _bits=8, _group_size=64)
+    got = np.asarray(quant_linear(qp, x, use_pallas=False))
+    wd = dequantize_weight(quantize_weight(w, 8, 64), 8, 64, jnp.float32)
+    np.testing.assert_allclose(got, np.asarray(x @ wd.T), rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_model_and_generate():
+    """Quantized tiny model still generates; output in valid token range."""
+    from csm_mlx_tpu.generation import generate_tokens
+    from csm_mlx_tpu.models.csm import CSM
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(0))
+    quantize_model(model, bits=8, group_size=32, min_size=0)
+    flat_keys = []
+
+    def walk(t, p=""):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                walk(v, f"{p}.{k}")
+        elif isinstance(t, list):
+            for i, v in enumerate(t):
+                walk(v, f"{p}.{i}")
+        else:
+            flat_keys.append(p)
+
+    walk(model.params)
+    assert any(k.endswith("weight_q") for k in flat_keys)
+
+    k = model.args.n_audio_codebooks + 1
+    prompt = np.zeros((4, k), dtype=np.int32)
+    prompt[:, -1] = np.arange(4)
+    mask = np.zeros_like(prompt)
+    mask[:, -1] = 1
+    frames, n = generate_tokens(model, prompt, mask, 2, temperature=0.0)
+    assert n >= 1
+    assert frames.max() < model.args.n_audio_vocab
