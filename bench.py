@@ -46,6 +46,13 @@ def main() -> None:
     model = CSM(csm_1b(), dtype=dtype, rng=jax.random.PRNGKey(0))
     args = model.args
 
+    quant_bits = int(os.environ.get("BENCH_QUANT", "0"))
+    if quant_bits:
+        from csm_mlx_tpu.ops.quant import quantize_model
+
+        quantize_model(model, bits=quant_bits,
+                       group_size=int(os.environ.get("BENCH_QUANT_GROUP", "64")))
+
     # ---- prompt: ~32 text rows (typical sentence), no context audio ----
     rng = np.random.RandomState(0)
     s = 32

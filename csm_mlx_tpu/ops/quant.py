@@ -154,8 +154,10 @@ def quant_linear(params: Dict[str, Any], x: jax.Array,
     lead = x.shape[:-1]
     in_dim = x.shape[-1]
     xf = x.reshape(-1, in_dim)
+    out_dim = params["scales"].shape[0]
     small_batch = xf.shape[0] <= 64
-    if use_pallas and small_batch and jax.default_backend() != "cpu":
+    aligned = out_dim % 128 == 0 and in_dim % 128 == 0
+    if use_pallas and small_batch and aligned and jax.default_backend() != "cpu":
         y = _pallas_quant_matvec(
             xf, params["weight_q"], params["scales"], params["biases"],
             bits=bits, group_size=group_size,

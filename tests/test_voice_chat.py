@@ -143,7 +143,8 @@ def test_barge_in_fades_and_flushes():
     audio_io = NullAudioIO()
 
     def long_tts(text, speaker, context):
-        for _ in range(50):
+        for _ in range(200):
+            time.sleep(0.01)  # slow generator so the barge-in lands mid-TTS
             yield np.ones(1920, dtype=np.float32)
 
     pipe = VoiceChatPipeline(stt, echo_llm, long_tts, audio_io)
@@ -154,9 +155,11 @@ def test_barge_in_fades_and_flushes():
         await state.llm_out_q.put("first sentence.")
         await state.llm_out_q.put("queued sentence.")
         await state.llm_out_q.put(LLM_RESPONSE_END)
-        # wait for TTS to start, then barge in
-        while not state.tts_speaking:
+        # wait (bounded) for TTS to start, then barge in
+        deadline = time.monotonic() + 2.0
+        while not state.tts_speaking and time.monotonic() < deadline:
             await asyncio.sleep(0.01)
+        assert state.tts_speaking, "TTS never started"
         await asyncio.sleep(0.1)
         state.interruption.set()
         await run
