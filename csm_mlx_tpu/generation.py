@@ -233,8 +233,8 @@ def _build_generate_tokens(
 
         state = dict(
             i=jnp.zeros((), jnp.int32),
-            n_frames=jnp.zeros((), jnp.int32),
-            done=jnp.zeros((), jnp.bool_),
+            n_frames=jnp.zeros((b,), jnp.int32),
+            done=jnp.zeros((b,), jnp.bool_),
             frames=frames,
             last_hidden=last_hidden,
             cache=cache,
@@ -243,20 +243,23 @@ def _build_generate_tokens(
         )
 
         def cond(st):
-            return (~st["done"]) & (st["i"] < max_frames)
+            return jnp.any(~st["done"]) & (st["i"] < max_frames)
 
         def body(st):
             frame, key, history = _decode_frame(
                 params, args, st["last_hidden"], st["key"], st["history"],
                 sampler, processors, cos_d, sin_d,
             )
-            done_now = jnp.all(frame == 0)  # EOS (generation.py:151-152)
+            # Per-row EOS: an all-zero frame ends that row
+            # (generation.py:151-152; rows are independent for batch TTS).
+            row_eos = jnp.all(frame == 0, axis=1)  # (B,)
+            done = st["done"] | row_eos
             frames = jax.lax.dynamic_update_slice(
                 st["frames"], frame[None], (st["i"], 0, 0)
             )
             new_i = st["i"] + 1
-            n_frames = jnp.where(done_now, st["n_frames"], new_i)
-            do_next = (~done_now) & (new_i < max_frames)
+            n_frames = jnp.where(done, st["n_frames"], new_i)
+            do_next = jnp.any(~done) & (new_i < max_frames)
 
             def step(_):
                 nxt_tokens, nxt_mask = _frame_to_next_input(frame)
@@ -270,7 +273,7 @@ def _build_generate_tokens(
 
             last_hidden, cache = jax.lax.cond(do_next, step, skip, None)
             return dict(
-                i=new_i, n_frames=n_frames, done=done_now, frames=frames,
+                i=new_i, n_frames=n_frames, done=done, frames=frames,
                 last_hidden=last_hidden, cache=cache, key=key, history=history,
             )
 
@@ -340,7 +343,7 @@ def _assemble_prompt(model: CSM, text: str, speaker: int, context: Sequence) -> 
         t, m = tokenize_segment(segment, n_audio_codebooks=model.n_audio_codebooks)
         tokens.append(np.asarray(t))
         masks.append(np.asarray(m))
-    t, m = tokenize_text_segment(text, speaker)
+    t, m = tokenize_text_segment(text, speaker, model.n_audio_codebooks)
     tokens.append(np.asarray(t))
     masks.append(np.asarray(m))
     prompt = np.concatenate(tokens, axis=0).astype(np.int32)
@@ -462,8 +465,82 @@ def generate_tokens(
         fn(model.params, jnp.asarray(tokens), jnp.asarray(mask),
            jnp.asarray(pad_len), key)
     )
-    n = int(n)
+    n = int(n[0])
     return frames[:n, 0, :], n
+
+
+def generate_tokens_batch(
+    model: CSM,
+    prompts: Sequence[np.ndarray],
+    prompt_masks: Sequence[np.ndarray],
+    max_audio_frames: int,
+    *,
+    temperature: float = 0.8,
+    sampler: Optional[Any] = None,
+    logits_processors: Optional[Sequence] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch-parallel generation (new TPU capability; the reference is B=1).
+
+    Prompts are left-padded to a common bucket; each row stops at its own
+    all-zero EOS frame. Returns (frames (max_frames, B, 32), n_frames (B,)).
+    """
+    args = model.args
+    smp = _resolve_sampler(temperature, sampler)
+    processors = tuple(logits_processors or ())
+    b = len(prompts)
+    longest = max(p.shape[0] for p in prompts)
+    _check_context_window(args, longest, max_audio_frames)
+    bucket = prompt_bucket(longest)
+    n_slots = prompts[0].shape[1]
+    tokens = np.zeros((b, bucket, n_slots), dtype=np.int32)
+    mask = np.zeros((b, bucket, n_slots), dtype=np.int32)
+    pad_len = np.zeros((b,), dtype=np.int32)
+    for i, (p, m) in enumerate(zip(prompts, prompt_masks)):
+        pad = bucket - p.shape[0]
+        tokens[i, pad:] = p
+        mask[i, pad:] = m
+        pad_len[i] = pad
+    fn = _build_generate_tokens(
+        args, smp, processors, bucket, max_audio_frames, _dtype_name(model.dtype)
+    )
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+    frames, n = jax.device_get(
+        fn(model.params, jnp.asarray(tokens), jnp.asarray(mask),
+           jnp.asarray(pad_len), key)
+    )
+    return frames, n
+
+
+def generate_batch(
+    model: CSM,
+    texts: Sequence[str],
+    speakers: Sequence[int],
+    contexts: Optional[Sequence[Sequence]] = None,
+    max_audio_length_ms: float = 90_000,
+    **kwargs,
+) -> List[jax.Array]:
+    """Batched TTS: one waveform per (text, speaker[, context]) row."""
+    from csm_mlx_tpu.tokenizers import decode_audio
+
+    contexts = contexts or [()] * len(texts)
+    max_frames = int(max_audio_length_ms / FRAME_MS)
+    prompts, masks = [], []
+    for text, speaker, context in zip(texts, speakers, contexts):
+        p, m = _assemble_prompt(model, text, speaker, context)
+        prompts.append(p)
+        masks.append(m)
+    frames, n = generate_tokens_batch(model, prompts, masks, max_frames,
+                                      **kwargs)
+    # One batched Mimi decode over the longest row; slice per row.
+    f_max = int(n.max()) if len(n) else 0
+    if f_max == 0:
+        return [jnp.zeros((0,), dtype=jnp.float32) for _ in texts]
+    codes = jnp.asarray(frames[:f_max].transpose(1, 2, 0), dtype=jnp.int32)
+    audio = decode_audio(codes, n_audio_codebooks=model.n_audio_codebooks)
+    frame_size = audio.shape[-1] // f_max
+    return [audio[i, 0, : int(n[i]) * frame_size] for i in range(len(texts))]
 
 
 def generate(

@@ -251,27 +251,60 @@ class Mimi:
             ),
         )
 
-    def decode_step(self, codes, state: MimiDecodeState):
-        """(B, K, 1) codes -> ((B, 1, frame_size) audio, state')."""
+    def decode_step(self, codes, state: Optional[MimiDecodeState] = None):
+        """(B, K, 1) codes -> ((B, 1, frame_size) audio, state').
+
+        With `state=None`, an internal stream state is used and updated —
+        the stateful interface the reference's Mimi exposes
+        (`decode_step`/`reset_state`, generation.py:249-258). Call
+        `reset_state()` between utterances in that mode.
+        """
+        stateful = state is None
+        if stateful:
+            if getattr(self, "_stream_decode_state", None) is None:
+                self._stream_decode_state = self.init_decode_state(
+                    batch=jnp.asarray(codes).shape[0])
+            state = self._stream_decode_state
         if self._decode_step_jit is None:
             self._decode_step_jit = jax.jit(
                 lambda p, c, s: mimi_decode_step_fn(p, self.cfg, c, s),
                 donate_argnums=(2,),
             )
-        return self._decode_step_jit(self.params, jnp.asarray(codes, jnp.int32),
-                                     state)
+        audio, new_state = self._decode_step_jit(
+            self.params, jnp.asarray(codes, jnp.int32), state)
+        if stateful:
+            self._stream_decode_state = new_state
+            return audio
+        return audio, new_state
 
-    def encode_step(self, audio, state: MimiEncodeState,
+    def encode_step(self, audio, state: Optional[MimiEncodeState] = None,
                     num_quantizers: Optional[int] = None):
-        """(B, 1, frame_size) audio -> ((B, K, 1) codes, state')."""
+        """(B, 1, frame_size) audio -> ((B, K, 1) codes, state').
+
+        `state=None` uses the internal stream state (see decode_step)."""
         nq = num_quantizers or self.cfg.num_quantizers
+        stateful = state is None
+        if stateful:
+            if getattr(self, "_stream_encode_state", None) is None:
+                self._stream_encode_state = self.init_encode_state(
+                    batch=jnp.asarray(audio).shape[0])
+            state = self._stream_encode_state
         if self._encode_step_jit is None:
             self._encode_step_jit = jax.jit(
                 lambda p, a, s: mimi_encode_step_fn(p, self.cfg, a, s, nq),
                 donate_argnums=(2,),
             )
-        return self._encode_step_jit(self.params,
-                                     jnp.asarray(audio, jnp.float32), state)
+        codes, new_state = self._encode_step_jit(
+            self.params, jnp.asarray(audio, jnp.float32), state)
+        if stateful:
+            self._stream_encode_state = new_state
+            return codes
+        return codes, new_state
+
+    def reset_state(self) -> None:
+        """Drop internal streaming states (reference Mimi.reset_state)."""
+        self._stream_decode_state = None
+        self._stream_encode_state = None
 
     # -- weights --------------------------------------------------------
     def load_pytorch_weights(self, path: str) -> "Mimi":

@@ -56,10 +56,13 @@ def quantize_weight(
                  0, n_levels).astype(jnp.uint8)
     q = q.reshape(out_dim, in_dim)
     if bits == 4:
-        q = (q[:, 0::2] | (q[:, 1::2] << 4)).astype(jnp.uint8)
+        # Half-split packing: low nibbles = inputs [0, in/2), high nibbles =
+        # inputs [in/2, in). Unpacking is a concat (Mosaic-friendly; an
+        # interleaved pack would need an unsupported shape cast in-kernel).
+        half = in_dim // 2
+        q = (q[:, :half] | (q[:, half:] << 4)).astype(jnp.uint8)
     return {
-        "weight_q": q.astype(jnp.int8 if bits == 8 else jnp.uint8)
-        if bits == 8 else q,
+        "weight_q": q,  # uint8 codes (4-bit: two per byte)
         "scales": scale.astype(jnp.float32),
         "biases": w_min.astype(jnp.float32),
     }
@@ -68,8 +71,7 @@ def quantize_weight(
 def _unpack4(q: jax.Array) -> jax.Array:
     lo = (q & 0x0F).astype(jnp.uint8)
     hi = (q >> 4).astype(jnp.uint8)
-    out = jnp.stack([lo, hi], axis=-1)
-    return out.reshape(*q.shape[:-1], q.shape[-1] * 2)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def dequantize_weight(qp: Dict[str, jax.Array], bits: int, group_size: int,
@@ -115,14 +117,17 @@ def _pallas_quant_matvec(x, weight_q, scales, biases, *, bits, group_size):
         tile_out //= 2
 
     def kernel(x_ref, q_ref, s_ref, z_ref, o_ref):
-        q = q_ref[...]
+        # Mosaic has no direct uint8->f32 cast: widen to int32 first.
+        q = q_ref[...].astype(jnp.int32)
         if bits == 4:
-            lo = (q & 0x0F).astype(jnp.uint8)
-            hi = (q >> 4).astype(jnp.uint8)
-            q = jnp.stack([lo, hi], axis=-1).reshape(tile_out, in_dim)
-        qf = q.reshape(tile_out, n_groups, group_size).astype(jnp.float32)
-        w = qf * s_ref[...][..., None] + z_ref[...][..., None]
-        w = w.reshape(tile_out, in_dim)
+            lo = q & 0x0F
+            hi = (q >> 4) & 0x0F
+            q = jnp.concatenate([lo, hi], axis=-1)
+        # Dequant without a (tile, groups, group) reshape (Mosaic-friendly):
+        # broadcast scales/biases along the group axis with repeat.
+        s = jnp.repeat(s_ref[...], group_size, axis=-1)
+        z = jnp.repeat(z_ref[...], group_size, axis=-1)
+        w = q.astype(jnp.float32) * s + z
         o_ref[...] = jax.lax.dot_general(
             x_ref[...].astype(jnp.float32), w,
             dimension_numbers=(((1,), (1,)), ((), ())),

@@ -74,13 +74,16 @@ def get_text_tokenizer(path: Optional[str] = None):
     return tokenizer
 
 
-def tokenize_text_segment(text: str, speaker: int) -> Tuple[np.ndarray, np.ndarray]:
-    """"[speaker]text" -> ((S, 33) frame, (S, 33) mask), text in column 32."""
+def tokenize_text_segment(
+    text: str, speaker: int, n_audio_codebooks: int = 32
+) -> Tuple[np.ndarray, np.ndarray]:
+    """"[speaker]text" -> ((S, K+1) frame, mask), text in the last column."""
+    n_slots = n_audio_codebooks + 1
     text_tokenizer = get_text_tokenizer()
     text_tokens = text_tokenizer.encode(f"[{speaker}]{text}")
     s = len(text_tokens)
-    frame = np.zeros((s, N_SLOTS), dtype=np.int32)
-    mask = np.zeros((s, N_SLOTS), dtype=np.int32)
+    frame = np.zeros((s, n_slots), dtype=np.int32)
+    mask = np.zeros((s, n_slots), dtype=np.int32)
     frame[:, -1] = np.asarray(text_tokens, dtype=np.int32)
     mask[:, -1] = 1
     return frame, mask
@@ -97,8 +100,9 @@ def tokenize_audio(
     codes = np.concatenate([codes, eos_frame], axis=1)
 
     f = codes.shape[1]
-    frame = np.zeros((f, N_SLOTS), dtype=np.int32)
-    mask = np.zeros((f, N_SLOTS), dtype=np.int32)
+    n_slots = n_audio_codebooks + 1
+    frame = np.zeros((f, n_slots), dtype=np.int32)
+    mask = np.zeros((f, n_slots), dtype=np.int32)
     frame[:, :-1] = codes.T
     mask[:, :-1] = 1
     return frame, mask
@@ -108,7 +112,8 @@ def tokenize_segment(
     segment: Segment, *, n_audio_codebooks: int = 32
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Text frames then audio frames for one conversation turn -> (S, 33) x2."""
-    text_tokens, text_masks = tokenize_text_segment(segment.text, segment.speaker)
+    text_tokens, text_masks = tokenize_text_segment(
+        segment.text, segment.speaker, n_audio_codebooks)
     audio_tokens, audio_masks = tokenize_audio(
         segment.audio, n_audio_codebooks=n_audio_codebooks
     )

@@ -1,0 +1,69 @@
+"""Weight IO tests: flat<->tree mapping, save/load roundtrip, batch gen."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from conftest import tiny_args
+from csm_mlx_tpu.loaders import flat_to_tree, tree_to_flat
+from csm_mlx_tpu.models.csm import CSM
+
+
+def test_flat_tree_roundtrip():
+    flat = {
+        "backbone.layers.0.self_attn.q_proj.weight": np.ones((2, 2)),
+        "backbone.layers.1.mlp.gate_proj.weight": np.ones((3, 2)),
+        "backbone.norm.weight": np.ones((2,)),
+        "audio_head": np.ones((1, 2, 3)),
+    }
+    tree = flat_to_tree(flat)
+    assert isinstance(tree["backbone"]["layers"], list)
+    assert len(tree["backbone"]["layers"]) == 2
+    back = tree_to_flat(tree)
+    assert set(back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(back[k], flat[k])
+
+
+def test_save_load_roundtrip(tmp_path):
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.safetensors")
+    model.save_weights(path)
+
+    fresh = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(99))
+    fresh.load_weights(path)
+    a = tree_to_flat(model.params)
+    b = tree_to_flat(fresh.params)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-6)
+
+
+def test_generate_tokens_batch(tiny_model):
+    """Per-row EOS batch generation: rows are independent."""
+    from csm_mlx_tpu.generation import generate_tokens_batch
+
+    args = tiny_model.args
+    k = args.n_audio_codebooks + 1
+    rng = np.random.RandomState(0)
+    prompts, masks = [], []
+    for s in (3, 5):
+        p = np.zeros((s, k), dtype=np.int32)
+        p[:, -1] = rng.randint(0, 200, size=s)
+        m = np.zeros_like(p)
+        m[:, -1] = 1
+        prompts.append(p)
+        masks.append(m)
+    frames, n = generate_tokens_batch(tiny_model, prompts, masks, 3,
+                                      temperature=0.0)
+    assert frames.shape == (3, 2, args.n_audio_codebooks)
+    assert n.shape == (2,)
+    assert (n >= 1).all()
+
+    # Row 0 alone must reproduce the same tokens as in the batch (greedy,
+    # same bucket): run single with the same bucket via batch of one.
+    f1, n1 = generate_tokens_batch(tiny_model, [prompts[0]], [masks[0]], 3,
+                                   temperature=0.0)
+    # bucket differs only if lengths bucket differently; here both <= 32.
+    np.testing.assert_array_equal(f1[: n1[0], 0], frames[: n[0], 0])
