@@ -99,6 +99,12 @@ def load_csm_weights(
     trainable-only checkpoints / adapters, cf. trainer.py:114-117).
     """
     flat = _load_flat(path)
+    # MLX checkpoints may serialize non-parameter module arrays (e.g. the
+    # torchtune-style rope cos/sin caches `rope._cache` / `rope._theta`,
+    # attention.py:77,:92) — drop them; rope is recomputed here.
+    flat = {k: v for k, v in flat.items()
+            if ".rope." not in k and not k.endswith("._cache")
+            and not k.endswith("._theta")}
     tree = flat_to_tree(
         {k: jnp.asarray(v, dtype=dtype) for k, v in flat.items()}
     )
