@@ -78,7 +78,7 @@ def main() -> None:
     t0 = time.perf_counter()
     frames, n = gen_fn(model.params, t_j, m_j, p_j, key)
     frames = jax.device_get(frames)
-    n = int(n)
+    n = int(jnp.reshape(n, (-1,))[0])
     t_gen = time.perf_counter() - t0
     assert n > 0, "no frames generated"
 

@@ -109,11 +109,11 @@ def _finish(args, model, flt) -> None:
     from safetensors.numpy import save_file
     import numpy as np
 
-    from csm_mlx_tpu.loaders import tree_to_flat
+    from csm_mlx_tpu.loaders import params_to_reference_flat
 
     final = args.output_dir / "adapters.safetensors"
     print(f"Saving final adapter weights to {final}...")
-    flat = tree_to_flat(model.params)
+    flat = params_to_reference_flat(model.params)
     adapters = {k: np.asarray(v) for k, v in flat.items() if flt(k)}
     save_file(adapters, str(final))
     print("Final adapters saved.")

@@ -52,16 +52,21 @@ def trainable_filter(path: str) -> bool:
 
 
 def effective_weight(p: Dict[str, jax.Array]) -> jax.Array:
-    """Materialize the adapted weight from a (possibly) LoRA/DoRA dict."""
+    """Materialize the adapted weight from a (possibly) LoRA/DoRA dict.
+
+    Works for plain (out, in) and stacked (L, out, in) weights — the
+    batched matmul broadcasts over leading axes."""
     w = p["weight"]
     if "lora_a" not in p:
         return w
     scale = p["lora_scale"] if "lora_scale" in p else 1.0
+    if hasattr(scale, "ndim") and scale.ndim > 0:  # stacked: (L,) -> (L,1,1)
+        scale = scale[..., None, None]
     delta = (p["lora_b"] @ p["lora_a"]).astype(w.dtype)
     w = w + scale * delta
     if "dora_m" in p:
-        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=1, keepdims=True)
-        w = p["dora_m"][:, None] * w / jnp.maximum(norm, 1e-6).astype(w.dtype)
+        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=-1, keepdims=True)
+        w = p["dora_m"][..., None] * w / jnp.maximum(norm, 1e-6).astype(w.dtype)
     return w
 
 
@@ -97,17 +102,20 @@ def _patch_linear_forward() -> None:
 def _adapt_leaf(p: Dict[str, Any], rank: int, scale: float, dropout: float,
                 use_dora: bool, key: jax.Array) -> None:
     w = p["weight"]
-    out_dim, in_dim = w.shape
+    *lead, out_dim, in_dim = w.shape
     dtype = w.dtype
     p["lora_a"] = (
-        jax.random.uniform(key, (rank, in_dim), minval=-1.0, maxval=1.0)
+        jax.random.uniform(key, (*lead, rank, in_dim), minval=-1.0, maxval=1.0)
         * (1.0 / math.sqrt(in_dim))
     ).astype(dtype)
-    p["lora_b"] = jnp.zeros((out_dim, rank), dtype=dtype)
-    p["lora_scale"] = jnp.asarray(scale, dtype=jnp.float32)
+    p["lora_b"] = jnp.zeros((*lead, out_dim, rank), dtype=dtype)
+    # Stacked leaves need a leading L axis on every tensor in the dict so
+    # lax.scan can slice them uniformly.
+    p["lora_scale"] = jnp.full(tuple(lead), scale, dtype=jnp.float32) \
+        if lead else jnp.asarray(scale, dtype=jnp.float32)
     if use_dora:
         p["dora_m"] = jnp.linalg.norm(
-            w.astype(jnp.float32), axis=1
+            w.astype(jnp.float32), axis=-1
         ).astype(dtype)
     _ = dropout  # dropout is a no-op at inference; training dropout TODO
 
@@ -175,12 +183,15 @@ def save_adapters(model: CSM, adapter_dir: str, config: Dict,
     (lora_finetune.py:261-266, :333-338)."""
     from safetensors.numpy import save_file
 
+    from csm_mlx_tpu.loaders import params_to_reference_flat
+
     path = Path(adapter_dir)
     path.mkdir(parents=True, exist_ok=True)
     with open(path / "adapter_config.json", "w") as f:
         json.dump({"fine_tune_type": fine_tune_type,
                    "lora_parameters": config}, f, indent=2)
-    flat = tree_to_flat(model.params)
+    # Reference-compatible per-layer names (utils.py:84-108 format).
+    flat = params_to_reference_flat(model.params)
     adapters = {k: np.asarray(v) for k, v in flat.items() if trainable_filter(k)}
     save_file(adapters, str(path / "adapters.safetensors"))
 

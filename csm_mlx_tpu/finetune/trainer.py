@@ -138,7 +138,9 @@ class CheckpointManager:
         os.makedirs(self.dir, exist_ok=True)
 
     def _weights_flat(self) -> Dict[str, np.ndarray]:
-        flat = tree_to_flat(self.model.params)
+        from csm_mlx_tpu.loaders import params_to_reference_flat
+
+        flat = params_to_reference_flat(self.model.params)
         if self.only_save_trainable_params and self.trainable_filter:
             flat = {k: v for k, v in flat.items() if self.trainable_filter(k)}
         return {k: np.asarray(v) for k, v in flat.items()}

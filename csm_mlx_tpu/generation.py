@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, Generator, List, Optional, Sequence, Tuple
 
 import jax
@@ -46,6 +47,7 @@ from csm_mlx_tpu.ops.sampling import SamplerConfig, apply_processors
 PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 HISTORY_SIZE = 64  # c0 repetition-penalty window carry (>= mlx_lm's 20)
 FRAME_MS = 80  # one RVQ frame = 80 ms (generation.py:106)
+DECODER_SCAN_UNROLL = int(os.environ.get("CSM_TPU_DECODER_UNROLL", "5"))
 
 
 def _dtype_name(dtype) -> str:
@@ -180,8 +182,11 @@ def _decode_frame(
         ci = sampler(kk, logits)
         return (dcache, key, ci), ci
 
+    # Unrolling lets XLA software-pipeline the per-step weight streaming
+    # (the loop is HBM-bound; each step re-reads the decoder weights).
     (dcache, key, _), rest = jax.lax.scan(
-        body, (dcache, key, c1), jnp.arange(2, n_cb, dtype=jnp.int32)
+        body, (dcache, key, c1), jnp.arange(2, n_cb, dtype=jnp.int32),
+        unroll=DECODER_SCAN_UNROLL,
     )
     frame = jnp.concatenate(
         [c0[:, None], c1[:, None], rest.transpose(1, 0)], axis=1

@@ -23,6 +23,7 @@ A pure-XLA fallback (materialized dequant) keeps CPU/debug paths working.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -56,31 +57,19 @@ def quantize_weight(
                  0, n_levels).astype(jnp.uint8)
     q = q.reshape(out_dim, in_dim)
     if bits == 4:
-        # Half-split packing: low nibbles = inputs [0, in/2), high nibbles =
-        # inputs [in/2, in). Unpacking is a concat (Mosaic-friendly; an
-        # interleaved pack would need an unsupported shape cast in-kernel).
-        half = in_dim // 2
-        q = (q[:, :half] | (q[:, half:] << 4)).astype(jnp.uint8)
+        # Native sub-byte dtype: XLA stores uint4 packed (2/byte) in HBM and
+        # Mosaic unpacks in-register inside the Pallas kernel.
+        q = q.astype(jnp.uint4)
     return {
-        "weight_q": q,  # uint8 codes (4-bit: two per byte)
+        "weight_q": q,  # (out, in) uint8 / uint4 codes
         "scales": scale.astype(jnp.float32),
         "biases": w_min.astype(jnp.float32),
     }
 
 
-def _unpack4(q: jax.Array) -> jax.Array:
-    lo = (q & 0x0F).astype(jnp.uint8)
-    hi = (q >> 4).astype(jnp.uint8)
-    return jnp.concatenate([lo, hi], axis=-1)
-
-
 def dequantize_weight(qp: Dict[str, jax.Array], bits: int, group_size: int,
                       dtype=jnp.bfloat16) -> jax.Array:
-    q = qp["weight_q"]
-    if bits == 4:
-        q = _unpack4(jnp.asarray(q, dtype=jnp.uint8))
-    else:
-        q = jnp.asarray(q, jnp.uint8) if q.dtype != jnp.uint8 else q
+    q = qp["weight_q"].astype(jnp.int32)
     out_dim, in_dim = q.shape
     n_groups = in_dim // group_size
     qf = q.reshape(out_dim, n_groups, group_size).astype(jnp.float32)
@@ -98,50 +87,47 @@ def _xla_quant_matmul(x, qp, bits, group_size):
     return jnp.einsum("...i,oi->...o", x, w)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size"))
 def _pallas_quant_matvec(x, weight_q, scales, biases, *, bits, group_size):
-    """x: (B, IN); weight_q: (OUT, IN[/2]); -> (B, OUT).
+    """x: (B, IN); weight_q: (OUT, IN) int8/int4 codes -> (B, OUT).
 
     Grid over OUT tiles; x is small (decode-time activations) and lives
     fully in VMEM; each program dequantizes its weight tile in-register and
-    issues one MXU matmul.
+    feeds the MXU. Mosaic constraints shape the implementation: groups are
+    dequantized with a per-group loop over 128-aligned lane slices and a
+    (tile, 1)->(tile, group) scalar broadcast — no cross-lane reshapes.
+    int4 codes use the native jnp.int4 dtype (Mosaic unpacks in-register).
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     b, in_dim = x.shape
     out_dim = weight_q.shape[0]
     n_groups = scales.shape[1]
+    assert group_size % 128 == 0, "pallas path requires 128-aligned groups"
     tile_out = 256
     while out_dim % tile_out != 0:
         tile_out //= 2
 
     def kernel(x_ref, q_ref, s_ref, z_ref, o_ref):
-        # Mosaic has no direct uint8->f32 cast: widen to int32 first.
-        q = q_ref[...].astype(jnp.int32)
-        if bits == 4:
-            lo = q & 0x0F
-            hi = (q >> 4) & 0x0F
-            q = jnp.concatenate([lo, hi], axis=-1)
-        # Dequant without a (tile, groups, group) reshape (Mosaic-friendly):
-        # broadcast scales/biases along the group axis with repeat.
-        s = jnp.repeat(s_ref[...], group_size, axis=-1)
-        z = jnp.repeat(z_ref[...], group_size, axis=-1)
-        w = q.astype(jnp.float32) * s + z
-        o_ref[...] = jax.lax.dot_general(
-            x_ref[...].astype(jnp.float32), w,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        acc = jnp.zeros((b, tile_out), jnp.float32)
+        for g in range(n_groups):
+            sl = pl.ds(g * group_size, group_size)
+            # No direct sub-byte/uint8 -> f32 cast in Mosaic: widen first.
+            qg = q_ref[:, sl].astype(jnp.int32).astype(jnp.float32)
+            wg = qg * s_ref[:, g][:, None] + z_ref[:, g][:, None]
+            acc += jax.lax.dot_general(
+                x_ref[:, sl].astype(jnp.float32), wg,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[...] = acc.astype(o_ref.dtype)
 
-    q_cols = weight_q.shape[1]
     grid = (out_dim // tile_out,)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, in_dim), lambda i: (0, 0)),
-            pl.BlockSpec((tile_out, q_cols), lambda i: (i, 0)),
+            pl.BlockSpec((tile_out, in_dim), lambda i: (i, 0)),
             pl.BlockSpec((tile_out, n_groups), lambda i: (i, 0)),
             pl.BlockSpec((tile_out, n_groups), lambda i: (i, 0)),
         ],
@@ -162,6 +148,8 @@ def quant_linear(params: Dict[str, Any], x: jax.Array,
     out_dim = params["scales"].shape[0]
     small_batch = xf.shape[0] <= 64
     aligned = out_dim % 128 == 0 and in_dim % 128 == 0
+    if os.environ.get("CSM_TPU_QUANT_PALLAS", "1") == "0":
+        use_pallas = False
     if use_pallas and small_batch and aligned and jax.default_backend() != "cpu":
         y = _pallas_quant_matvec(
             xf, params["weight_q"], params["scales"], params["biases"],
@@ -187,22 +175,36 @@ class _StaticInt(int):
     """An int that registers as a pytree-static leaf via aux data."""
 
 
+_NO_QUANT = ("layernorm", "norm", "embeddings", "layer_scale", "codebook")
+
+
 def _quantize_tree(tree: Any, bits: int, group_size: int,
-                   predicate) -> Any:
+                   predicate, path: str = "") -> Any:
     if isinstance(tree, dict):
         if "weight" in tree and hasattr(tree["weight"], "ndim") and \
-                tree["weight"].ndim == 2:
+                tree["weight"].ndim in (2, 3) and \
+                not any(t in path for t in _NO_QUANT):
             w = tree["weight"]
-            if predicate(w) and w.shape[1] % group_size == 0:
-                qp = quantize_weight(w, bits, group_size)
+            if predicate(w) and w.shape[-1] % group_size == 0:
+                if w.ndim == 3:  # stacked (L, out, in): quantize per layer
+                    L, o, i = w.shape
+                    qp2 = quantize_weight(w.reshape(L * o, i), bits, group_size)
+                    qp = {
+                        "weight_q": qp2["weight_q"].reshape(L, o, -1),
+                        "scales": qp2["scales"].reshape(L, o, -1),
+                        "biases": qp2["biases"].reshape(L, o, -1),
+                    }
+                else:
+                    qp = quantize_weight(w, bits, group_size)
                 new = {k: v for k, v in tree.items() if k != "weight"}
                 new.update(qp)
                 return new
             return tree
-        return {k: _quantize_tree(v, bits, group_size, predicate)
+        return {k: _quantize_tree(v, bits, group_size, predicate, f"{path}.{k}")
                 for k, v in tree.items()}
     if isinstance(tree, list):
-        return [_quantize_tree(v, bits, group_size, predicate) for v in tree]
+        return [_quantize_tree(v, bits, group_size, predicate, f"{path}.{i}")
+                for i, v in enumerate(tree)]
     return tree
 
 

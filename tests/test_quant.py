@@ -32,7 +32,9 @@ def test_quantize_roundtrip_4bit_packing():
     rng = np.random.RandomState(1)
     w = jnp.asarray(rng.randn(16, 128).astype(np.float32))
     qp = quantize_weight(w, bits=4, group_size=64)
-    assert qp["weight_q"].shape == (16, 64)  # packed two per byte
+    # Native uint4 dtype: logical shape unchanged, XLA packs 2/byte in HBM.
+    assert qp["weight_q"].shape == (16, 128)
+    assert qp["weight_q"].dtype == jnp.uint4
     back = dequantize_weight(qp, 4, 64, dtype=jnp.float32)
     err = np.abs(np.asarray(back) - np.asarray(w)).max()
     step = np.asarray(qp["scales"]).max()
