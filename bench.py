@@ -50,8 +50,12 @@ def main() -> None:
     if quant_bits:
         from csm_mlx_tpu.ops.quant import quantize_model
 
+        mode = os.environ.get("BENCH_QUANT_MODE", "affine")
+        targets = tuple(os.environ.get(
+            "BENCH_QUANT_TARGETS", "decoder,projection").split(","))
         quantize_model(model, bits=quant_bits,
-                       group_size=int(os.environ.get("BENCH_QUANT_GROUP", "64")))
+                       group_size=int(os.environ.get("BENCH_QUANT_GROUP", "64")),
+                       mode=mode, targets=targets)
 
     # ---- prompt: ~32 text rows (typical sentence), no context audio ----
     rng = np.random.RandomState(0)

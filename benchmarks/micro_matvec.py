@@ -149,3 +149,34 @@ def _xla_step(y, q, s, z):
 
 if __name__ == "__main__":
     main()
+
+
+def w8a8_main():
+    from csm_mlx_tpu.ops.quant import (_pallas_quant_matvec_w8a8,
+                                       quantize_weight_w8)
+    import functools
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, D).astype(np.float32), dtype=jnp.bfloat16)
+    ws = jnp.asarray(rng.randn(REPS, D, D).astype(np.float32) * 0.02,
+                     dtype=jnp.bfloat16)
+    qall = jax.jit(jax.vmap(quantize_weight_w8))(ws)
+    q8, s8, z8 = qall["weight_q"], qall["scales"], qall["biases"]
+
+    f = chain(lambda y, i, q8, s8, z8: _pallas_quant_matvec_w8a8(
+        y, q8[i], s8[i], z8[i], bits=8, group_size=D))
+    c, r = timed(f, x, q8, s8, z8)
+    report("int8 W8A8 MXU pallas", c, r, D * D)
+
+    # numeric sanity vs dequantized reference
+    w0 = (q8[0].astype(jnp.float32) * s8[0] + z8[0])
+    want = np.asarray(x.astype(jnp.float32) @ w0.T)
+    got = np.asarray(_pallas_quant_matvec_w8a8(x, q8[0], s8[0], z8[0],
+                                               bits=8, group_size=D))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    print(f"w8a8 rel err vs dequant ref: {rel:.4f}")
+
+
+if __import__("os").environ.get("VARIANTS") == "w8a8":
+    w8a8_main()
+    raise SystemExit(0)

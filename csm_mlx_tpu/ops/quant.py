@@ -71,8 +71,10 @@ def dequantize_weight(qp: Dict[str, jax.Array], bits: int, group_size: int,
                       dtype=jnp.bfloat16) -> jax.Array:
     q = qp["weight_q"].astype(jnp.int32)
     out_dim, in_dim = q.shape
-    n_groups = in_dim // group_size
-    qf = q.reshape(out_dim, n_groups, group_size).astype(jnp.float32)
+    # Group count comes from the stored scales (handles both grouped affine
+    # and per-channel W8A8 layouts).
+    n_groups = qp["scales"].shape[-1]
+    qf = q.reshape(out_dim, n_groups, in_dim // n_groups).astype(jnp.float32)
     w = qf * qp["scales"][..., None] + qp["biases"][..., None]
     return w.reshape(out_dim, in_dim).astype(dtype)
 
@@ -137,6 +139,83 @@ def _pallas_quant_matvec(x, weight_q, scales, biases, *, bits, group_size):
     )(x, weight_q, scales, biases)
 
 
+def _pallas_quant_matvec_w8a8(x, weight_q, scales, biases, *, bits,
+                              group_size):
+    """W8A8 variant: activations are dynamically quantized to int8 and the
+    dot runs int8 x int8 -> int32 on the MXU — no VPU dequant of the weight
+    tile at all, so the kernel streams codes at full HBM rate.
+
+    Requires per-channel (group_size == in_dim) affine weights:
+      w[o,i] = s[o] * q[o,i] + z[o]
+      out[o] = s[o]/xs * P[o] + z[o] * xsum,  P = sum_i qx[i] q[o,i]
+    where qx = round(x * xs), xs = 127 / max|x|.
+    """
+    from jax.experimental import pallas as pl
+
+    b, in_dim = x.shape
+    out_dim = weight_q.shape[0]
+    assert scales.shape[1] == 1, "w8a8 path needs per-channel scales"
+    tile_out = 512
+    while out_dim % tile_out != 0:
+        tile_out //= 2
+
+    xf = x.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+    xs = 127.0 / absmax
+    xq = jnp.clip(jnp.round(xf * xs), -127, 127).astype(jnp.int8)
+    xsum = jnp.sum(xf, axis=-1, keepdims=True)  # (B, 1)
+
+    def kernel(xq_ref, aux_ref, q_ref, s_ref, z_ref, o_ref):
+        # int8 x int8 -> int32 directly on the MXU (operands stay int8;
+        # Mosaic rejects pre-widened i32 dot inputs).
+        p = jax.lax.dot_general(
+            xq_ref[...], q_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, tile)
+        inv_xs = aux_ref[...][:, 0:1]   # (B, 1)
+        xsum_v = aux_ref[...][:, 1:2]   # (B, 1)
+        s_row = s_ref[...]              # (1, tile)
+        z_row = z_ref[...]
+        o_ref[...] = (
+            p.astype(jnp.float32) * s_row * inv_xs + z_row * xsum_v
+        ).astype(o_ref.dtype)
+
+    aux = jnp.concatenate([1.0 / xs, xsum], axis=-1)  # (B, 2)
+    # Row-vector layout so the kernel broadcasts without transposing.
+    s_rowv = scales.reshape(1, out_dim)
+    z_rowv = biases.reshape(1, out_dim)
+    grid = (out_dim // tile_out,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, in_dim), lambda i: (0, 0)),
+            pl.BlockSpec((b, 2), lambda i: (0, 0)),
+            pl.BlockSpec((tile_out, in_dim), lambda i: (i, 0)),
+            pl.BlockSpec((1, tile_out), lambda i: (0, i)),
+            pl.BlockSpec((1, tile_out), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b, tile_out), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, out_dim), x.dtype),
+        interpret=(jax.default_backend() == "cpu"),
+    )(xq, aux, weight_q, s_rowv, z_rowv)
+
+
+def quantize_weight_w8(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-channel symmetric-ish affine int8 (for the W8A8 MXU path).
+
+    Stored as signed int8 codes with w = s*q + z, z = row midpoint."""
+    out_dim, in_dim = w.shape
+    wf = jnp.asarray(w, jnp.float32)
+    w_max = wf.max(axis=-1, keepdims=True)
+    w_min = wf.min(axis=-1, keepdims=True)
+    z = (w_max + w_min) / 2.0
+    s = jnp.maximum((w_max - w_min) / 254.0, 1e-12)
+    q = jnp.clip(jnp.round((wf - z) / s), -127, 127).astype(jnp.int8)
+    return {"weight_q": q, "scales": s, "biases": z}
+
+
 def quant_linear(params: Dict[str, Any], x: jax.Array,
                  use_pallas: bool = True) -> jax.Array:
     """Linear over a quantized param dict ({"weight_q","scales","biases"})."""
@@ -150,11 +229,18 @@ def quant_linear(params: Dict[str, Any], x: jax.Array,
     aligned = out_dim % 128 == 0 and in_dim % 128 == 0
     if os.environ.get("CSM_TPU_QUANT_PALLAS", "1") == "0":
         use_pallas = False
+    is_w8a8 = params["weight_q"].dtype == jnp.int8  # signed => per-channel W8A8
     if use_pallas and small_batch and aligned and jax.default_backend() != "cpu":
-        y = _pallas_quant_matvec(
-            xf, params["weight_q"], params["scales"], params["biases"],
-            bits=bits, group_size=group_size,
-        )
+        if is_w8a8:
+            y = _pallas_quant_matvec_w8a8(
+                xf, params["weight_q"], params["scales"], params["biases"],
+                bits=8, group_size=in_dim,
+            )
+        else:
+            y = _pallas_quant_matvec(
+                xf, params["weight_q"], params["scales"], params["biases"],
+                bits=bits, group_size=group_size,
+            )
     else:
         y = _xla_quant_matmul(xf, params, bits, group_size)
     y = y.reshape(*lead, -1)
@@ -179,54 +265,63 @@ _NO_QUANT = ("layernorm", "norm", "embeddings", "layer_scale", "codebook")
 
 
 def _quantize_tree(tree: Any, bits: int, group_size: int,
-                   predicate, path: str = "") -> Any:
+                   predicate, path: str = "", mode: str = "affine") -> Any:
     if isinstance(tree, dict):
         if "weight" in tree and hasattr(tree["weight"], "ndim") and \
-                tree["weight"].ndim in (2, 3) and \
+                tree["weight"].ndim == 2 and \
                 not any(t in path for t in _NO_QUANT):
             w = tree["weight"]
             if predicate(w) and w.shape[-1] % group_size == 0:
-                if w.ndim == 3:  # stacked (L, out, in): quantize per layer
-                    L, o, i = w.shape
-                    qp2 = quantize_weight(w.reshape(L * o, i), bits, group_size)
-                    qp = {
-                        "weight_q": qp2["weight_q"].reshape(L, o, -1),
-                        "scales": qp2["scales"].reshape(L, o, -1),
-                        "biases": qp2["biases"].reshape(L, o, -1),
-                    }
+                if mode == "w8a8":
+                    qp = quantize_weight_w8(w)
                 else:
                     qp = quantize_weight(w, bits, group_size)
                 new = {k: v for k, v in tree.items() if k != "weight"}
                 new.update(qp)
                 return new
             return tree
-        return {k: _quantize_tree(v, bits, group_size, predicate, f"{path}.{k}")
+        return {k: _quantize_tree(v, bits, group_size, predicate,
+                                  f"{path}.{k}", mode)
                 for k, v in tree.items()}
     if isinstance(tree, list):
-        return [_quantize_tree(v, bits, group_size, predicate, f"{path}.{i}")
+        return [_quantize_tree(v, bits, group_size, predicate,
+                               f"{path}.{i}", mode)
                 for i, v in enumerate(tree)]
     return tree
 
 
 def quantize_model(model, bits: int = DEFAULT_BITS,
                    group_size: int = DEFAULT_GROUP_SIZE,
-                   min_size: int = 1 << 16) -> None:
-    """Quantize every large-enough Linear weight in model.params in place.
+                   min_size: int = 1 << 16,
+                   mode: str = "affine",
+                   targets=("backbone", "decoder", "projection",
+                            "codebook0_head")) -> None:
+    """Quantize large Linear weights in model.params in place.
 
-    Mirrors `nn.quantize(model, bits=..., group_size=...)` semantics the
-    reference exposes (README.md:111). Embeddings and norms are left alone
-    (their reads are row-gathers, not matmuls).
+    mode="affine": MLX-parity grouped affine codes (uint8/uint4), VPU-dequant
+    Pallas kernel. Mirrors `nn.quantize(model, bits=..., group_size=...)`
+    (README.md:111).
+
+    mode="w8a8": per-channel signed-int8 weights + dynamic int8 activations;
+    the matmul runs int8 x int8 on the MXU (fastest decode path on v5e; see
+    benchmarks/micro_matvec.py). `bits`/`group_size` are ignored.
+
+    `targets` picks the components; the decoder + projection dominate decode
+    HBM traffic (the 31-step inner loop re-reads them per frame, SURVEY.md
+    §6), so ("decoder", "projection") alone captures most of the win at a
+    fraction of the (remote-Mosaic) compile cost. Embeddings and norms are
+    never quantized (their reads are row-gathers, not matmuls).
     """
     _patch_quant_linear(bits, group_size)
 
     def predicate(w) -> bool:
         return w.size >= min_size
 
-    # Only quantize the transformer stacks + projection/heads.
     p = model.params
-    for key in ("backbone", "decoder", "projection", "codebook0_head"):
+    for key in targets:
         if key in p:
-            p[key] = _quantize_tree(p[key], bits, group_size, predicate)
+            p[key] = _quantize_tree(p[key], bits, group_size, predicate,
+                                    mode=mode)
 
 
 _QUANT_STATE = {"bits": DEFAULT_BITS, "group_size": DEFAULT_GROUP_SIZE}

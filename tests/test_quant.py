@@ -94,3 +94,42 @@ def test_quantize_model_and_generate():
     frames, n = generate_tokens(model, prompt, mask, 2, temperature=0.0)
     assert n >= 1
     assert frames.max() < model.args.n_audio_vocab
+
+
+def test_w8a8_quantize_and_linear():
+    """W8A8 per-channel path: XLA fallback correctness on CPU."""
+    from csm_mlx_tpu.ops.quant import quantize_weight_w8
+
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    x = jnp.asarray(rng.randn(1, 128).astype(np.float32))
+    qp = quantize_weight_w8(w)
+    assert qp["weight_q"].dtype == jnp.int8
+    assert qp["scales"].shape == (64, 1)
+    back = dequantize_weight(qp, 8, 128, dtype=jnp.float32)
+    # per-channel int8: max error within one step
+    step = np.asarray(qp["scales"]).max()
+    assert np.abs(np.asarray(back) - np.asarray(w)).max() <= step * 0.51
+
+    p = dict(qp, _bits=8, _group_size=128)
+    got = np.asarray(quant_linear(p, x, use_pallas=False))
+    want = np.asarray(x @ back.T)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w8a8_model_generate():
+    from csm_mlx_tpu.generation import generate_tokens
+    from csm_mlx_tpu.models.csm import CSM
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(8))
+    quantize_model(model, mode="w8a8", min_size=0,
+                   targets=("decoder", "projection"))
+    k = model.args.n_audio_codebooks + 1
+    prompt = np.zeros((4, k), dtype=np.int32)
+    prompt[:, -1] = np.arange(4)
+    mask = np.zeros_like(prompt)
+    mask[:, -1] = 1
+    frames, n = generate_tokens(model, prompt, mask, 2, temperature=0.0)
+    assert n >= 1
+    assert frames.max() < model.args.n_audio_vocab
