@@ -17,7 +17,13 @@ from csm_mlx_tpu.config import (
     LlamaConfig,
 )
 from csm_mlx_tpu.models.csm import CSM, ModelArgs, csm_1b
-from csm_mlx_tpu.generation import generate, generate_frame, stream_generate
+from csm_mlx_tpu.generation import (
+    generate,
+    generate_batch,
+    generate_frame,
+    stream_generate,
+)
+from csm_mlx_tpu.ops.quant import quantize_model as quantize
 from csm_mlx_tpu.ops.sampling import make_logits_processors, make_sampler
 from csm_mlx_tpu.segment import Segment
 
@@ -26,8 +32,10 @@ __all__ = [
     "ModelArgs",
     "csm_1b",
     "generate",
+    "generate_batch",
     "generate_frame",
     "stream_generate",
+    "quantize",
     "Segment",
     "make_sampler",
     "make_logits_processors",
