@@ -31,6 +31,17 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the remote Mosaic/XLA compile of the
+    # fused generation loop takes minutes; cache it across bench runs.
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from csm_mlx_tpu.generation import (
