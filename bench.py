@@ -57,13 +57,17 @@ def main() -> None:
     model = CSM(csm_1b(), dtype=dtype, rng=jax.random.PRNGKey(0))
     args = model.args
 
-    quant_bits = int(os.environ.get("BENCH_QUANT", "0"))
+    # Default: the W8A8 MXU-quantized path — the fastest measured config
+    # (RTF 5.0 vs 4.0 bf16 in the same window; PERFORMANCE.md). This mirrors
+    # the reference, whose headline number is also its quantized mode
+    # (README.md:142). BENCH_QUANT=0 benches the bf16 parity path.
+    quant_bits = int(os.environ.get("BENCH_QUANT", "8"))
     if quant_bits:
         from csm_mlx_tpu.ops.quant import quantize_model
 
-        mode = os.environ.get("BENCH_QUANT_MODE", "affine")
+        mode = os.environ.get("BENCH_QUANT_MODE", "w8a8")
         targets = tuple(os.environ.get(
-            "BENCH_QUANT_TARGETS", "decoder,projection").split(","))
+            "BENCH_QUANT_TARGETS", "backbone,decoder,projection").split(","))
         quantize_model(model, bits=quant_bits,
                        group_size=int(os.environ.get("BENCH_QUANT_GROUP", "64")),
                        mode=mode, targets=targets)

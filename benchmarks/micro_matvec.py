@@ -160,13 +160,16 @@ def w8a8_main():
     x = jnp.asarray(rng.randn(1, D).astype(np.float32), dtype=jnp.bfloat16)
     ws = jnp.asarray(rng.randn(REPS, D, D).astype(np.float32) * 0.02,
                      dtype=jnp.bfloat16)
-    qall = jax.jit(jax.vmap(quantize_weight_w8))(ws)
+    bits = int(__import__("os").environ.get("W8A8_BITS", "8"))
+    qall = jax.jit(jax.vmap(functools.partial(quantize_weight_w8,
+                                              bits=bits)))(ws)
     q8, s8, z8 = qall["weight_q"], qall["scales"], qall["biases"]
 
     f = chain(lambda y, i, q8, s8, z8: _pallas_quant_matvec_w8a8(
         y, q8[i], s8[i], z8[i], bits=8, group_size=D))
     c, r = timed(f, x, q8, s8, z8)
-    report("int8 W8A8 MXU pallas", c, r, D * D)
+    report(f"int{bits} W{bits}A8 MXU pallas", c, r,
+           D * D if bits == 8 else D * D // 2)
 
     # numeric sanity vs dequantized reference
     w0 = (q8[0].astype(jnp.float32) * s8[0] + z8[0])

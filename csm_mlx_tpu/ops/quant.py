@@ -1,23 +1,27 @@
-"""Weight-only int8/int4 grouped affine quantization.
+"""Quantization: grouped affine (MLX parity) and W8A8/W4A8 MXU paths.
 
-Capability parity with the reference's `nn.quantize(model, bits, group_size)`
-path (README.md:92-128, `run_streaming_csm_mlx.py:811-818`, defaults 4-bit /
-group 64): every Linear weight W (out, in) is stored as
+Generation is HBM-bandwidth-bound — the 31-step decoder inner loop re-reads
+every decoder weight per frame (SURVEY.md §6) — so weight compression is the
+TPU perf lever. Two schemes:
 
-  q      : uint  codes in [0, 2^bits-1]  — int8 array; 4-bit packs two codes
-           per byte along the input axis
-  scales : (out, in/group) fp16-ish      — per-group scale
-  biases : (out, in/group)               — per-group zero offset
+1. Grouped affine (`quantize_weight`, mode="affine"): capability parity with
+   the reference's `nn.quantize(model, bits, group_size)` (README.md:92-128,
+   defaults 4-bit / group 64). Codes are unsigned (uint8 / native uint4),
+   W ~= scales * q + biases per input-group — MLX-quantized checkpoints map
+   over losslessly. Served by a Pallas VPU-dequant kernel
+   (`_pallas_quant_matvec`), which is VPU-convert-bound (~210 GB/s).
 
-with W ~= scales * q + biases (MLX affine convention, so MLX-quantized
-checkpoints map over losslessly).
+2. Per-channel W8A8/W4A8 (`quantize_weight_w8`, mode="w8a8"/"w4a8"): signed
+   codes, activations dynamically quantized to int8, and the matmul runs
+   int8 x int8 -> int32 *on the MXU* (`_pallas_quant_matvec_w8a8`) with the
+   affine correction applied per output tile — the fastest measured decode
+   path (PERFORMANCE.md: RTF 5.0 vs 4.0 bf16). W4A8 works on CPU but the
+   current axon TPU runtime mishandles native int4 arrays, so W8A8 is the
+   production default.
 
-Why this is the TPU perf lever: generation is HBM-bandwidth-bound — the
-31-step decoder inner loop re-reads every decoder weight per frame
-(SURVEY.md §6). int8 halves and int4 quarters that traffic. The matmul runs
-through a Pallas kernel that streams int8 codes HBM->VMEM, dequantizes in
-registers, and feeds the MXU — the dequantized weight never touches HBM.
-A pure-XLA fallback (materialized dequant) keeps CPU/debug paths working.
+A pure-XLA dequant fallback keeps CPU/debug paths working everywhere. Note
+XLA alone cannot serve this workload: it materializes dequantized weights in
+HBM (measured 4x slower than bf16).
 """
 
 from __future__ import annotations
@@ -166,10 +170,14 @@ def _pallas_quant_matvec_w8a8(x, weight_q, scales, biases, *, bits,
     xsum = jnp.sum(xf, axis=-1, keepdims=True)  # (B, 1)
 
     def kernel(xq_ref, aux_ref, q_ref, s_ref, z_ref, o_ref):
-        # int8 x int8 -> int32 directly on the MXU (operands stay int8;
-        # Mosaic rejects pre-widened i32 dot inputs).
+        # intN x int8 -> int32 directly on the MXU (operands stay narrow;
+        # Mosaic rejects pre-widened i32 dot inputs). int4 codes are widened
+        # to int8 in-register (W4A8): HBM traffic halves again.
+        q = q_ref[...]
+        if q.dtype != jnp.int8:
+            q = q.astype(jnp.int8)
         p = jax.lax.dot_general(
-            xq_ref[...], q_ref[...],
+            xq_ref[...], q,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (B, tile)
@@ -202,17 +210,20 @@ def _pallas_quant_matvec_w8a8(x, weight_q, scales, biases, *, bits,
     )(xq, aux, weight_q, s_rowv, z_rowv)
 
 
-def quantize_weight_w8(w: jax.Array) -> Dict[str, jax.Array]:
-    """Per-channel symmetric-ish affine int8 (for the W8A8 MXU path).
+def quantize_weight_w8(w: jax.Array, bits: int = 8) -> Dict[str, jax.Array]:
+    """Per-channel affine int8/int4 codes (for the W8A8/W4A8 MXU path).
 
-    Stored as signed int8 codes with w = s*q + z, z = row midpoint."""
+    Stored as signed codes with w = s*q + z, z = row midpoint; int4 uses the
+    native jnp.int4 dtype (0.5 byte/element in HBM)."""
     out_dim, in_dim = w.shape
     wf = jnp.asarray(w, jnp.float32)
     w_max = wf.max(axis=-1, keepdims=True)
     w_min = wf.min(axis=-1, keepdims=True)
     z = (w_max + w_min) / 2.0
-    s = jnp.maximum((w_max - w_min) / 254.0, 1e-12)
-    q = jnp.clip(jnp.round((wf - z) / s), -127, 127).astype(jnp.int8)
+    lim = 127 if bits == 8 else 7
+    s = jnp.maximum((w_max - w_min) / (2 * lim), 1e-12)
+    q = jnp.clip(jnp.round((wf - z) / s), -lim, lim)
+    q = q.astype(jnp.int8 if bits == 8 else jnp.int4)
     return {"weight_q": q, "scales": s, "biases": z}
 
 
@@ -229,7 +240,8 @@ def quant_linear(params: Dict[str, Any], x: jax.Array,
     aligned = out_dim % 128 == 0 and in_dim % 128 == 0
     if os.environ.get("CSM_TPU_QUANT_PALLAS", "1") == "0":
         use_pallas = False
-    is_w8a8 = params["weight_q"].dtype == jnp.int8  # signed => per-channel W8A8
+    is_w8a8 = params["weight_q"].dtype in (jnp.int8, jnp.int4)  # signed =>
+    # per-channel W8A8 / W4A8 MXU path
     if use_pallas and small_batch and aligned and jax.default_backend() != "cpu":
         if is_w8a8:
             y = _pallas_quant_matvec_w8a8(
@@ -272,8 +284,8 @@ def _quantize_tree(tree: Any, bits: int, group_size: int,
                 not any(t in path for t in _NO_QUANT):
             w = tree["weight"]
             if predicate(w) and w.shape[-1] % group_size == 0:
-                if mode == "w8a8":
-                    qp = quantize_weight_w8(w)
+                if mode in ("w8a8", "w4a8"):
+                    qp = quantize_weight_w8(w, bits=4 if mode == "w4a8" else 8)
                 else:
                     qp = quantize_weight(w, bits, group_size)
                 new = {k: v for k, v in tree.items() if k != "weight"}

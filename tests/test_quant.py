@@ -133,3 +133,22 @@ def test_w8a8_model_generate():
     frames, n = generate_tokens(model, prompt, mask, 2, temperature=0.0)
     assert n >= 1
     assert frames.max() < model.args.n_audio_vocab
+
+
+def test_w4a8_cpu_path():
+    """W4A8 per-channel int4 codes: CPU/XLA fallback correctness."""
+    from csm_mlx_tpu.ops.quant import quantize_weight_w8
+
+    rng = np.random.RandomState(6)
+    w = jnp.asarray(rng.randn(32, 128).astype(np.float32))
+    qp = quantize_weight_w8(w, bits=4)
+    assert qp["weight_q"].dtype == jnp.int4
+    back = dequantize_weight(qp, 4, 128, dtype=jnp.float32)
+    step = np.asarray(qp["scales"]).max()
+    assert np.abs(np.asarray(back) - np.asarray(w)).max() <= step * 0.51
+
+    x = jnp.asarray(rng.randn(1, 128).astype(np.float32))
+    p = dict(qp, _bits=4, _group_size=128)
+    got = np.asarray(quant_linear(p, x, use_pallas=False))
+    np.testing.assert_allclose(got, np.asarray(x @ back.T), rtol=1e-4,
+                               atol=1e-4)
