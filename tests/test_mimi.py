@@ -162,3 +162,39 @@ def test_hf_parity_encode(hf_pair):
         want = hf.encode(torch.tensor(audio), num_quantizers=TINY.num_quantizers)[0].numpy()
     got = np.asarray(mine.encode(jnp.asarray(audio)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_step_long_stream_beyond_window(tiny_mimi):
+    """Streaming decode far past the transformer's sliding window must stay
+    consistent with the batch decode (ring KV cache eviction correctness)."""
+    f = TINY.sliding_window * 3 + 2  # 20 frames >> window 6
+    codes = jnp.asarray(
+        np.random.RandomState(9).randint(0, TINY.codebook_size,
+                                         size=(1, TINY.num_quantizers, f)),
+        dtype=jnp.int32,
+    )
+    full = np.asarray(tiny_mimi.decode(codes))
+    state = tiny_mimi.init_decode_state()
+    chunks = []
+    for i in range(f):
+        chunk, state = tiny_mimi.decode_step(codes[:, :, i : i + 1], state)
+        chunks.append(np.asarray(chunk))
+    stream = np.concatenate(chunks, axis=-1)
+    np.testing.assert_allclose(full, stream, rtol=1e-4, atol=1e-5)
+
+
+def test_stateful_decode_step_and_reset(tiny_mimi):
+    """Reference-style stateful interface: decode_step()/reset_state()."""
+    codes = jnp.asarray(
+        np.random.RandomState(10).randint(0, TINY.codebook_size,
+                                          size=(1, TINY.num_quantizers, 1)),
+        dtype=jnp.int32,
+    )
+    tiny_mimi.reset_state()
+    a1 = np.asarray(tiny_mimi.decode_step(codes))
+    a2 = np.asarray(tiny_mimi.decode_step(codes))
+    assert a1.shape == a2.shape == (1, 1, TINY.frame_size)
+    assert not np.allclose(a1, a2)  # stream state advanced
+    tiny_mimi.reset_state()
+    b1 = np.asarray(tiny_mimi.decode_step(codes))
+    np.testing.assert_allclose(a1, b1, rtol=1e-5, atol=1e-6)
