@@ -152,3 +152,24 @@ def test_w4a8_cpu_path():
     got = np.asarray(quant_linear(p, x, use_pallas=False))
     np.testing.assert_allclose(got, np.asarray(x @ back.T), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_w8a8_pallas_kernel_interpret():
+    """The W8A8 MXU kernel in Pallas interpret mode vs dequantized matmul."""
+    from csm_mlx_tpu.ops.quant import (
+        _pallas_quant_matvec_w8a8,
+        quantize_weight_w8,
+    )
+
+    rng = np.random.RandomState(11)
+    w = jnp.asarray(rng.randn(256, 256).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(1, 256).astype(np.float32))
+    qp = quantize_weight_w8(w)
+    got = np.asarray(_pallas_quant_matvec_w8a8(
+        x, qp["weight_q"], qp["scales"], qp["biases"], bits=8,
+        group_size=256))
+    back = dequantize_weight(qp, 8, 256, dtype=jnp.float32)
+    want = np.asarray(x @ back.T)
+    # activation int8 quantization adds ~1% relative error
+    denom = np.abs(want).max() + 1e-9
+    assert np.abs(got - want).max() / denom < 0.02
