@@ -276,6 +276,18 @@ class _StaticInt(int):
 _NO_QUANT = ("layernorm", "norm", "embeddings", "layer_scale", "codebook")
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_quantizer(mode: str, bits: int, group_size: int):
+    """One jitted program per (mode, bits, group, shape): quantizing a model
+    eagerly costs hundreds of tiny dispatches (expensive through the axon
+    tunnel); jitting collapses each weight to a single call."""
+    if mode in ("w8a8", "w4a8"):
+        return jax.jit(functools.partial(
+            quantize_weight_w8, bits=4 if mode == "w4a8" else 8))
+    return jax.jit(functools.partial(
+        quantize_weight, bits=bits, group_size=group_size))
+
+
 def _quantize_tree(tree: Any, bits: int, group_size: int,
                    predicate, path: str = "", mode: str = "affine") -> Any:
     if isinstance(tree, dict):
@@ -284,10 +296,7 @@ def _quantize_tree(tree: Any, bits: int, group_size: int,
                 not any(t in path for t in _NO_QUANT):
             w = tree["weight"]
             if predicate(w) and w.shape[-1] % group_size == 0:
-                if mode in ("w8a8", "w4a8"):
-                    qp = quantize_weight_w8(w, bits=4 if mode == "w4a8" else 8)
-                else:
-                    qp = quantize_weight(w, bits, group_size)
+                qp = _jitted_quantizer(mode, bits, group_size)(w)
                 new = {k: v for k, v in tree.items() if k != "weight"}
                 new.update(qp)
                 return new
