@@ -346,6 +346,12 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
             if fade_remaining == 0:
                 break
 
+        # Whether we stopped on timeout, fade-out, or exhaustion: close the
+        # generator so it releases its compiled-loop state instead of idling
+        # half-consumed in the executor (no next() is in flight here — the
+        # loop above only breaks between executor calls).
+        await loop.run_in_executor(executor, gen.close)
+
         state.tts_speaking = False
         state.cooldown_until = time.monotonic() + COOLDOWN_S
         if interrupted:

@@ -69,13 +69,13 @@ def run(args: argparse.Namespace) -> None:
                 text_content = text_files[base_name].read_text(
                     encoding="utf-8").strip()
             except Exception as e:
-                print(f"Error: Failed to read text file "
-                      f"'{text_files[base_name].name}': {e}")
+                print(f"[convert] could not read "
+                      f"'{text_files[base_name].name}': {e} -- skipping")
                 skipped += 1
                 continue
             if not text_content:
-                print(f"Warning: Empty text file skipped: "
-                      f"'{text_files[base_name].name}' in '{item.name}'")
+                print(f"[convert] '{item.name}/{text_files[base_name].name}'"
+                      f" is empty -- skipping")
                 skipped += 1
                 continue
             conversation.append({
@@ -88,23 +88,22 @@ def run(args: argparse.Namespace) -> None:
             all_conversations.append(conversation)
             total_samples += len(conversation)
             if skipped:
-                print(f"Info: Skipped {skipped} file(s) in '{item.name}' due "
-                      f"to missing text or read errors.")
+                print(f"[convert] {item.name}: {skipped} audio file(s) had "
+                      f"no usable transcript and were left out")
         total_skipped += skipped
 
-    print("\n--- Conversion Summary ---")
-    print(f"Processed {processed_dirs} potential conversation directories.")
+    print(f"\n[convert] scanned {processed_dirs} conversation folder(s)")
     if total_skipped:
-        print(f"Skipped {total_skipped} audio files total (missing text, "
-              f"read errors).")
+        print(f"[convert] {total_skipped} audio file(s) left out overall "
+              f"(no transcript / unreadable)")
     if not all_conversations:
-        print("Error: No valid conversations found. Output JSON will be "
-              "empty.")
+        print("[convert] WARNING: nothing usable found -- writing an empty "
+              "dataset")
     else:
-        print(f"Found {len(all_conversations)} valid conversations.")
-        print(f"Total samples added: {total_samples}")
+        print(f"[convert] kept {len(all_conversations)} conversation(s), "
+              f"{total_samples} utterance(s)")
 
     output_json.parent.mkdir(parents=True, exist_ok=True)
     with open(output_json, "w", encoding="utf-8") as f:
         json.dump(all_conversations, f, indent=4, ensure_ascii=False)
-    print(f"Successfully wrote JSON to: {output_json}")
+    print(f"[convert] wrote {output_json}")

@@ -70,35 +70,6 @@ def effective_weight(p: Dict[str, jax.Array]) -> jax.Array:
     return w
 
 
-def _patch_linear_forward() -> None:
-    """Make ops.layers.linear LoRA-aware (idempotent)."""
-    from csm_mlx_tpu.ops import layers
-
-    if getattr(layers.linear, "_lora_aware", False):
-        return
-    base = layers.linear
-
-    def lora_linear(params, x):
-        if "lora_a" in params:
-            w = effective_weight(params)
-            y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
-            if "bias" in params:
-                y = y + params["bias"].astype(y.dtype)
-            return y
-        return base(params, x)
-
-    lora_linear._lora_aware = True
-    layers.linear = lora_linear
-    # Modules that imported `linear` by value:
-    import csm_mlx_tpu.generation as gen_mod
-    import csm_mlx_tpu.finetune.loss as loss_mod
-    import csm_mlx_tpu.models.llama as llama_mod
-
-    for mod in (gen_mod, loss_mod, llama_mod):
-        if hasattr(mod, "linear"):
-            mod.linear = lora_linear
-
-
 def _adapt_leaf(p: Dict[str, Any], rank: int, scale: float, dropout: float,
                 use_dora: bool, key: jax.Array) -> None:
     w = p["weight"]
@@ -117,7 +88,11 @@ def _adapt_leaf(p: Dict[str, Any], rank: int, scale: float, dropout: float,
         p["dora_m"] = jnp.linalg.norm(
             w.astype(jnp.float32), axis=-1
         ).astype(dtype)
-    _ = dropout  # dropout is a no-op at inference; training dropout TODO
+    if dropout and dropout > 0.0:
+        # Training-time dropout on the adapter input (mlx_lm LoRALinear
+        # semantics, utils.py:32-51): applied by ops.layers.linear when the
+        # trainers open a `lora_dropout_rng` scope; identity at inference.
+        p["lora_dropout"] = jnp.asarray(dropout, dtype=jnp.float32)
 
 
 def linear_to_lora_layers(model, config: Dict, use_dora: bool = False) -> None:
@@ -125,9 +100,9 @@ def linear_to_lora_layers(model, config: Dict, use_dora: bool = False) -> None:
 
     config: {"rank": int, "scale": float, "dropout": float, "keys": [...]}
     — "attn" in keys expands to the reference's q/k/v/o + MLP set
-    (utils.py:59-68).
+    (utils.py:59-68). `ops.layers.linear` serves adapted dicts directly (it
+    dispatches on the `lora_a` key), so conversion is pure data.
     """
-    _patch_linear_forward()
     keys = set(config.get("keys") or [])
     if "attn" in keys:
         keys.discard("attn")
@@ -165,7 +140,8 @@ def fuse_lora(model: CSM) -> None:
         if isinstance(tree, dict):
             if "lora_a" in tree:
                 tree["weight"] = effective_weight(tree)
-                for k in ("lora_a", "lora_b", "lora_scale", "dora_m"):
+                for k in ("lora_a", "lora_b", "lora_scale", "dora_m",
+                          "lora_dropout"):
                     tree.pop(k, None)
                 return
             for v in tree.values():

@@ -78,8 +78,13 @@ def compute_loss(
     shifted_loss_masks = loss_masks[:, :, :-1][:, 1:, :]
     valid = (shifted_audio_masks & shifted_loss_masks).astype(jnp.float32)
 
+    # cause_mismatch (KTO KL proxy, trainer.py:271-274) rolls only the CE
+    # *targets*; the decoder's teacher-forcing inputs (ci_emb below) come from
+    # the unrolled sequence, exactly as the reference builds ci_stacked before
+    # applying the roll.
+    target_tokens = shifted_audio_tokens
     if cause_mismatch:
-        shifted_audio_tokens = jnp.concatenate(
+        target_tokens = jnp.concatenate(
             [shifted_audio_tokens[:, 1:], shifted_audio_tokens[:, :1]], axis=1
         )
 
@@ -94,7 +99,7 @@ def compute_loss(
     )  # (B, S-1, D)
 
     c0_logits = linear(params["codebook0_head"], hidden)
-    c0_ce = _cross_entropy(c0_logits, shifted_audio_tokens[:, :, 0])
+    c0_ce = _cross_entropy(c0_logits, target_tokens[:, :, 0])
     if per_sample:
         c0_loss = _masked_mean(c0_ce, valid[:, :, 0], axis=-1) * fcw
     else:
@@ -112,7 +117,7 @@ def compute_loss(
     dec_in = dec_in.reshape(n_rows, n_cb + 1, -1)
 
     row_valid = valid  # (B, S-1, K)
-    row_targets = shifted_audio_tokens
+    row_targets = target_tokens
 
     if decoder_loss_fraction < 1.0:
         k = max(int(n_rows * decoder_loss_fraction), 1)

@@ -146,9 +146,13 @@ class CheckpointManager:
         return {k: np.asarray(v) for k, v in flat.items()}
 
     def _opt_flat(self) -> Dict[str, np.ndarray]:
-        leaves = jax.tree.leaves(self.opt_state_ref.get("opt_state"))
-        return {f"opt.{i}": np.asarray(l) for i, l in enumerate(leaves)
-                if hasattr(l, "shape")}
+        # Index by a counter over *array* leaves only — load() walks the tree
+        # with the same counter, so save/load stay aligned even when the opt
+        # state holds non-array leaves (e.g. schedule callables) before an
+        # array leaf.
+        leaves = [l for l in jax.tree.leaves(self.opt_state_ref.get("opt_state"))
+                  if hasattr(l, "shape")]
+        return {f"opt.{i}": np.asarray(l) for i, l in enumerate(leaves)}
 
     def save(self):
         from safetensors.numpy import save_file
@@ -259,14 +263,21 @@ class CSMTrainer:
 
     # -- loss (overridden by DPO/KTO) -----------------------------------
     def _loss_fn(self, params, batch, rng):
-        return compute_loss(
-            params, self.model.args, batch,
-            first_codebook_weight_multiplier=
-                self.args.first_codebook_weight_multiplier,
-            decoder_loss_fraction=self.args.decoder_loss_fraction,
-            remat=self.args.gradient_checkpointing,
-            rng=rng,
-        )
+        from csm_mlx_tpu.ops.layers import lora_dropout_rng
+
+        drop_rng, loss_rng = jax.random.split(rng)
+        # LoRA dropout (param dicts carrying `lora_dropout`) is live only
+        # inside this scope — inference and frozen-reference forwards stay
+        # deterministic.
+        with lora_dropout_rng(drop_rng):
+            return compute_loss(
+                params, self.model.args, batch,
+                first_codebook_weight_multiplier=
+                    self.args.first_codebook_weight_multiplier,
+                decoder_loss_fraction=self.args.decoder_loss_fraction,
+                remat=self.args.gradient_checkpointing,
+                rng=loss_rng,
+            )
 
     # -- compiled step ---------------------------------------------------
     def _build_step(self):
@@ -415,6 +426,8 @@ class DPOTrainer(CSMTrainer):
         self.beta = args.beta
 
     def _loss_fn(self, params, batch, rng):
+        from csm_mlx_tpu.ops.layers import lora_dropout_rng
+
         fcw = self.args.first_codebook_weight_multiplier
         chosen = {"tokens": batch["chosen_tokens"],
                   "masks": batch["chosen_masks"],
@@ -424,12 +437,14 @@ class DPOTrainer(CSMTrainer):
                     "loss_masks": batch["rejected_loss_masks"]}
         args = self.model.args
         remat = self.args.gradient_checkpointing
-        chosen_loss = compute_loss(params, args, chosen, per_sample=True,
-                                   first_codebook_weight_multiplier=fcw,
-                                   remat=remat)
-        rejected_loss = compute_loss(params, args, rejected, per_sample=True,
-                                     first_codebook_weight_multiplier=fcw,
-                                     remat=remat)
+        with lora_dropout_rng(rng):
+            chosen_loss = compute_loss(params, args, chosen, per_sample=True,
+                                       first_codebook_weight_multiplier=fcw,
+                                       remat=remat)
+            rejected_loss = compute_loss(params, args, rejected,
+                                         per_sample=True,
+                                         first_codebook_weight_multiplier=fcw,
+                                         remat=remat)
         margin = -(chosen_loss - rejected_loss) * self.beta
         return jnp.mean(-jax.nn.log_sigmoid(margin))
 
@@ -464,21 +479,31 @@ class KTOTrainer(CSMTrainer):
         core = {"tokens": batch["tokens"], "masks": batch["masks"],
                 "loss_masks": batch["loss_masks"]}
 
+        from csm_mlx_tpu.ops.layers import lora_dropout_rng
+
         kl_reference = compute_loss(ref_params, args, core, per_sample=True,
                                     cause_mismatch=True,
                                     first_codebook_weight_multiplier=fcw)
-        kl_policy = compute_loss(params, args, core, per_sample=True,
-                                 cause_mismatch=True,
-                                 first_codebook_weight_multiplier=fcw,
-                                 remat=remat)
         reference = compute_loss(ref_params, args, core, per_sample=True,
                                  first_codebook_weight_multiplier=fcw)
-        policy = compute_loss(params, args, core, per_sample=True,
-                              first_codebook_weight_multiplier=fcw,
-                              remat=remat)
+        # Dropout applies to the trainable policy forwards only; the frozen
+        # reference model above runs deterministic (eval mode).
+        with lora_dropout_rng(rng):
+            kl_policy = compute_loss(params, args, core, per_sample=True,
+                                     cause_mismatch=True,
+                                     first_codebook_weight_multiplier=fcw,
+                                     remat=remat)
+            policy = compute_loss(params, args, core, per_sample=True,
+                                  first_codebook_weight_multiplier=fcw,
+                                  remat=remat)
 
         reward = policy - reference
-        kl = jnp.clip(jnp.mean(kl_policy - kl_reference), 0.0, None)
+        # The KL proxy is a detached baseline (the reference computes it
+        # outside nn.value_and_grad and passes it in as a constant) — no
+        # gradients may flow through it.
+        kl = jax.lax.stop_gradient(
+            jnp.clip(jnp.mean(kl_policy - kl_reference), 0.0, None)
+        )
         penalized_reward = reward - kl
 
         preferences = batch["preferences"]

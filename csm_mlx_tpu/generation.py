@@ -393,6 +393,17 @@ def _resolve_sampler(
 # ---------------------------------------------------------------------------
 
 
+class FrameState(tuple):
+    """(frame, cache, key, history) returned by stateful `generate_frame`."""
+
+    __slots__ = ()
+
+    frame = property(lambda self: self[0])
+    cache = property(lambda self: self[1])
+    key = property(lambda self: self[2])
+    history = property(lambda self: self[3])
+
+
 def generate_frame(
     model: CSM,
     tokens: jax.Array,
@@ -405,12 +416,28 @@ def generate_frame(
     pad_len: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     history: Optional[jax.Array] = None,
+    return_state: bool = False,
 ) -> jax.Array:
     """Generate one 32-codebook frame (API parity with generation.py:21-92).
 
     This is the un-fused convenience path (one jit per call shape); `generate`
     / `stream_generate` use the fully fused compiled loop instead.
+
+    Unlike the reference (whose mlx KVCache mutates in place), JAX arrays are
+    immutable: the advanced cache/key/history must be *returned*, so a frame
+    loop must pass `return_state=True` and thread the returned `FrameState`
+    into the next call. Passing `cache`/`key`/`history` without
+    `return_state=True` raises — silently reusing a stale cache would
+    generate wrong audio with no error.
     """
+    if (cache is not None or key is not None or history is not None) \
+            and not return_state:
+        raise ValueError(
+            "generate_frame received cache/key/history but return_state is "
+            "False; the advanced state would be silently discarded. Pass "
+            "return_state=True and thread the returned (frame, cache, key, "
+            "history) into the next call."
+        )
     args = model.args
     smp = _resolve_sampler(temperature, sampler)
     processors = tuple(logits_processors or ())
@@ -441,6 +468,8 @@ def generate_frame(
     frame, key, history = _decode_frame(
         model.params, args, last_hidden, key, history, smp, processors, cos_d, sin_d
     )
+    if return_state:
+        return FrameState((frame, cache, key, history))
     return frame
 
 

@@ -8,23 +8,93 @@ on-disk format as the in-memory format makes weight loading a zero-copy
 rename (`/root/reference/csm_mlx/finetune/trainer.py:109` saves the same
 layout).
 
+`linear()` dispatches on the param dict itself — a dict carrying
+`weight_q`/`scales` runs the quantized path (ops/quant.py), one carrying
+`lora_a` adds the adapter contribution (finetune/lora.py semantics, cf.
+mlx_lm's LoRALinear used at `/root/reference/csm_mlx/finetune/utils.py:32-51`).
+No call-site registration or module patching: any new caller of `linear`
+is automatically quant- and LoRA-aware.
+
 Norms accumulate in fp32 and cast back, the standard bf16-safe recipe.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from contextlib import contextmanager
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 Params = Dict[str, jax.Array]
 
+# Training-time LoRA dropout context: holds (key, call_counter). Set by the
+# trainers around loss evaluation (`lora_dropout_rng`); linear() folds a
+# distinct per-call-site sub-key at trace time. Outside the context (or at
+# inference) dropout is the identity, matching mlx_lm's eval-mode Dropout.
+_DROPOUT_CTX: Dict[str, object] = {"key": None, "count": 0}
+
+
+@contextmanager
+def lora_dropout_rng(key: Optional[jax.Array]):
+    """Enable LoRA dropout for linear() calls traced inside this scope."""
+    prev = dict(_DROPOUT_CTX)
+    _DROPOUT_CTX["key"] = key
+    _DROPOUT_CTX["count"] = 0
+    try:
+        yield
+    finally:
+        _DROPOUT_CTX.update(prev)
+
+
+def _maybe_dropout(x: jax.Array, rate) -> jax.Array:
+    key = _DROPOUT_CTX["key"]
+    if key is None:
+        return x
+    _DROPOUT_CTX["count"] += 1
+    sub = jax.random.fold_in(key, _DROPOUT_CTX["count"])
+    keep = jnp.asarray(1.0 - rate, jnp.float32)
+    mask = jax.random.bernoulli(sub, keep, x.shape)
+    scaled = x / keep.astype(x.dtype)
+    return jnp.where(mask, scaled, jnp.zeros((), x.dtype)).astype(x.dtype)
+
+
+def _lora_delta(params: Params, x: jax.Array) -> jax.Array:
+    """scale * ((dropout(x) @ A^T) @ B^T) — factored, never materializes BA."""
+    scale = params["lora_scale"] if "lora_scale" in params else 1.0
+    if "lora_dropout" in params:
+        x = _maybe_dropout(x, params["lora_dropout"])
+    z = jnp.einsum("...i,ri->...r", x, params["lora_a"].astype(x.dtype))
+    z = jnp.einsum("...r,or->...o", z, params["lora_b"].astype(x.dtype))
+    return scale * z
+
 
 def linear(params: Params, x: jax.Array) -> jax.Array:
-    """y = x @ W^T (+ b). W stored (out, in) like torch/MLX nn.Linear."""
-    w = params["weight"]
-    y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+    """y = x @ W^T (+ b). W stored (out, in) like torch/MLX nn.Linear.
+
+    Quantized dicts (weight_q) run the Pallas/XLA quant matmul; LoRA dicts
+    (lora_a) add the low-rank adapter term. DoRA requires the dense weight
+    (it renormalizes W + BA per row), so it goes through effective_weight.
+    """
+    if "weight_q" in params:
+        from csm_mlx_tpu.ops.quant import quant_linear
+
+        y = quant_linear(params, x)
+        if "lora_a" in params:
+            y = y + _lora_delta(params, x).astype(y.dtype)
+        return y
+    if "dora_m" in params:
+        from csm_mlx_tpu.finetune.lora import effective_weight
+
+        w = effective_weight(params)
+        y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+    elif "lora_a" in params:
+        w = params["weight"]
+        y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+        y = y + _lora_delta(params, x).astype(y.dtype)
+    else:
+        w = params["weight"]
+        y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y

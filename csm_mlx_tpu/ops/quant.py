@@ -229,11 +229,17 @@ def quantize_weight_w8(w: jax.Array, bits: int = 8) -> Dict[str, jax.Array]:
 
 def quant_linear(params: Dict[str, Any], x: jax.Array,
                  use_pallas: bool = True) -> jax.Array:
-    """Linear over a quantized param dict ({"weight_q","scales","biases"})."""
-    bits = params.get("_bits", DEFAULT_BITS)
-    group_size = params.get("_group_size", DEFAULT_GROUP_SIZE)
+    """Linear over a quantized param dict ({"weight_q","scales","biases"}).
+
+    bits/group_size are inferred from the stored arrays (code dtype and the
+    scales' group count), so quantized dicts are self-describing and
+    `ops.layers.linear` can dispatch with no side-channel metadata.
+    """
+    q_dtype = params["weight_q"].dtype
+    bits = 4 if q_dtype in (jnp.uint4, jnp.int4) else 8
     lead = x.shape[:-1]
     in_dim = x.shape[-1]
+    group_size = in_dim // params["scales"].shape[-1]
     xf = x.reshape(-1, in_dim)
     out_dim = params["scales"].shape[0]
     small_batch = xf.shape[0] <= 64
@@ -265,14 +271,6 @@ def quant_linear(params: Dict[str, Any], x: jax.Array,
 # Model quantization API (parity with nn.quantize)
 # ---------------------------------------------------------------------------
 
-# Static metadata must not enter the traced pytree — carried in a wrapper
-# class below via aux keys starting with "_" that we strip before jit.
-
-
-class _StaticInt(int):
-    """An int that registers as a pytree-static leaf via aux data."""
-
-
 _NO_QUANT = ("layernorm", "norm", "embeddings", "layer_scale", "codebook")
 
 
@@ -295,11 +293,21 @@ def _quantize_tree(tree: Any, bits: int, group_size: int,
                 tree["weight"].ndim == 2 and \
                 not any(t in path for t in _NO_QUANT):
             w = tree["weight"]
-            if predicate(w) and w.shape[-1] % group_size == 0:
+            # w8a8/w4a8 are per-channel: no input-group alignment needed.
+            align = 1 if mode in ("w8a8", "w4a8") else group_size
+            if predicate(w) and w.shape[-1] % align == 0:
                 qp = _jitted_quantizer(mode, bits, group_size)(w)
                 new = {k: v for k, v in tree.items() if k != "weight"}
                 new.update(qp)
                 return new
+            if predicate(w):  # large enough but misaligned: say so
+                import warnings
+
+                warnings.warn(
+                    f"quantize_model: skipping '{path}' — in_dim "
+                    f"{w.shape[-1]} is not a multiple of group_size "
+                    f"{align}; weight stays {w.dtype}."
+                )
             return tree
         return {k: _quantize_tree(v, bits, group_size, predicate,
                                   f"{path}.{k}", mode)
@@ -332,8 +340,10 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
     §6), so ("decoder", "projection") alone captures most of the win at a
     fraction of the (remote-Mosaic) compile cost. Embeddings and norms are
     never quantized (their reads are row-gathers, not matmuls).
+
+    Quantized dicts are served directly by `ops.layers.linear`, which
+    dispatches on the presence of `weight_q` — no patching or registration.
     """
-    _patch_quant_linear(bits, group_size)
 
     def predicate(w) -> bool:
         return w.size >= min_size
@@ -342,37 +352,4 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
     for key in targets:
         if key in p:
             p[key] = _quantize_tree(p[key], bits, group_size, predicate,
-                                    mode=mode)
-
-
-_QUANT_STATE = {"bits": DEFAULT_BITS, "group_size": DEFAULT_GROUP_SIZE}
-
-
-def _patch_quant_linear(bits: int, group_size: int) -> None:
-    """Make ops.layers.linear quantization-aware (idempotent)."""
-    _QUANT_STATE["bits"] = bits
-    _QUANT_STATE["group_size"] = group_size
-    from csm_mlx_tpu.ops import layers
-
-    current = layers.linear
-    if getattr(current, "_quant_aware", False):
-        return
-
-    def q_linear(params, x):
-        if "weight_q" in params:
-            p = dict(params)
-            p["_bits"] = _QUANT_STATE["bits"]
-            p["_group_size"] = _QUANT_STATE["group_size"]
-            return quant_linear(p, x)
-        return current(params, x)
-
-    q_linear._quant_aware = True
-    q_linear._lora_aware = getattr(current, "_lora_aware", False)
-    layers.linear = q_linear
-    import csm_mlx_tpu.finetune.loss as loss_mod
-    import csm_mlx_tpu.generation as gen_mod
-    import csm_mlx_tpu.models.llama as llama_mod
-
-    for mod in (gen_mod, loss_mod, llama_mod):
-        if hasattr(mod, "linear"):
-            mod.linear = q_linear
+                                    path=key, mode=mode)

@@ -65,7 +65,10 @@ int wav_read(const char* path, float** out, WavInfo* info) {
   while (pos + 8 <= (size_t)size) {
     const uint8_t* chunk = buf.data() + pos;
     uint32_t chunk_len = rd_u32(chunk + 4);
-    if (memcmp(chunk, "fmt ", 4) == 0 && chunk_len >= 16) {
+    // A declared chunk_len larger than the remaining bytes must not let the
+    // fmt-field reads below run past the buffer.
+    if (memcmp(chunk, "fmt ", 4) == 0 && chunk_len >= 16 &&
+        pos + 8 + chunk_len <= (size_t)size) {
       fmt = rd_u16(chunk + 8);
       channels = rd_u16(chunk + 10);
       rate = rd_u32(chunk + 12);

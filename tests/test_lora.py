@@ -90,6 +90,48 @@ def test_adapter_save_load_roundtrip(tmp_path):
                                np.asarray(p["lora_b"]), rtol=1e-6)
 
 
+def test_lora_dropout_perturbs_training_loss(tmp_path):
+    """dropout>0 makes the per-step loss rng-dependent; dropout=0 doesn't
+    (mlx_lm LoRALinear parity: dropout on the adapter input, train-time
+    only)."""
+    from test_trainer import _fake_ds
+
+    def build(dropout):
+        model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(7))
+        linear_to_lora_layers(model, {"rank": 2, "scale": 2.0,
+                                      "dropout": dropout, "keys": ["attn"]})
+        # non-zero B so the adapter branch actually contributes
+        for part in ("backbone", "decoder"):
+            for layer in model.params[part]["layers"]:
+                q = layer["self_attn"]["q_proj"]
+                q["lora_b"] = jnp.ones_like(q["lora_b"]) * 0.2
+        return model
+
+    ds = _fake_ds(tiny_args())
+    batch = {k: jnp.asarray(v) for k, v in ds.get_batch([0, 1]).items()}
+
+    model = build(0.5)
+    assert "lora_dropout" in \
+        model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    trainer = CSMTrainer(TrainArgs(
+        model=model, optimizer=optax.adam(1e-2), output_dir=tmp_path / "d",
+        ckpt_freq=0, trainable_filter=trainable_filter, learning_rate=1e-2,
+    ))
+    l1 = trainer._loss_fn(model.params, batch, jax.random.PRNGKey(0))
+    l2 = trainer._loss_fn(model.params, batch, jax.random.PRNGKey(1))
+    assert not np.allclose(float(l1), float(l2)), \
+        "dropout>0 must make the loss depend on the rng"
+
+    model0 = build(0.0)
+    trainer0 = CSMTrainer(TrainArgs(
+        model=model0, optimizer=optax.adam(1e-2), output_dir=tmp_path / "d0",
+        ckpt_freq=0, trainable_filter=trainable_filter, learning_rate=1e-2,
+    ))
+    l3 = trainer0._loss_fn(model0.params, batch, jax.random.PRNGKey(0))
+    l4 = trainer0._loss_fn(model0.params, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(l3), float(l4), rtol=1e-6)
+
+
 def test_fuse_lora_preserves_effective_weight():
     model = _lora_model(seed=4)
     p = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]

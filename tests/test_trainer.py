@@ -85,6 +85,86 @@ def test_cause_mismatch_changes_loss(model):
     assert abs(a - b) > 1e-6
 
 
+def _reference_loss(params, args, batch, *, cause_mismatch=False, fcw=1.0):
+    """Independent port of the reference compute_loss (trainer.py:202-318):
+    per-codebook python loop, embeddings stacked per codebook, and the
+    cause_mismatch roll applied to the CE *targets only*, after the decoder
+    forward is built from the unrolled tokens."""
+    from csm_mlx_tpu.models.csm import embed_audio, embed_tokens
+    from csm_mlx_tpu.models.llama import llama_forward
+    from csm_mlx_tpu.ops.attention import causal_mask_bias
+    from csm_mlx_tpu.ops.layers import linear
+    from csm_mlx_tpu.ops.rope import rope_cache_for
+
+    tokens, masks, loss_masks = (batch["tokens"], batch["masks"],
+                                 batch["loss_masks"])
+    b, s, _ = tokens.shape
+    n_cb = args.n_audio_codebooks
+    shifted = tokens[:, 1:, :-1]
+    valid = (masks[:, 1:, :-1] & loss_masks[:, 1:, :-1]).astype(jnp.float32)
+
+    emb = embed_tokens(params, args, tokens)
+    backbone_in = (emb * masks[..., None].astype(emb.dtype)).sum(-2)[:, :-1]
+    cos_b, sin_b = rope_cache_for(args.backbone_config, s)
+    hidden, _ = llama_forward(
+        params["backbone"], args.backbone_config, backbone_in, cos_b, sin_b,
+        jnp.arange(s - 1)[None], causal_mask_bias(s - 1, s - 1)[None, None],
+        None)
+
+    # Decoder teacher-forcing inputs from the UNROLLED shifted tokens.
+    ci_stacked = jnp.stack(
+        [embed_audio(params, args, i, shifted[:, :, i]) for i in range(n_cb)],
+        axis=-2)
+    dec_in = jnp.concatenate([hidden[:, :, None, :], ci_stacked], axis=-2)
+    dec_in = dec_in.reshape(-1, n_cb + 1, dec_in.shape[-1])
+    cos_d, sin_d = rope_cache_for(args.decoder_config, n_cb + 1)
+    dec_hidden, _ = llama_forward(
+        params["decoder"], args.decoder_config,
+        linear(params["projection"], dec_in), cos_d, sin_d,
+        jnp.arange(n_cb + 1)[None],
+        causal_mask_bias(n_cb + 1, n_cb + 1)[None, None], None)
+    dec_hidden = dec_hidden.reshape(b, s - 1, n_cb + 1, -1)[:, :, 1:-1, :]
+
+    targets = shifted
+    if cause_mismatch:  # roll applied to targets only (trainer.py:271-274)
+        targets = jnp.concatenate([shifted[:, 1:], shifted[:, :1]], axis=1)
+
+    def ce(logits, tgt):
+        logits = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        return logz - jnp.take_along_axis(logits, tgt[..., None], -1)[..., 0]
+
+    c0_logits = linear(params["codebook0_head"], hidden)
+    c0 = (ce(c0_logits, targets[:, :, 0]) * valid[:, :, 0]).sum() \
+        / valid[:, :, 0].sum() * fcw
+    total = c0 / n_cb
+    for i in range(1, n_cb):
+        li = jnp.einsum("bsd,dv->bsv",
+                        dec_hidden[:, :, i - 1, :].astype(jnp.float32),
+                        params["audio_head"][i - 1].astype(jnp.float32))
+        ci = (ce(li, targets[:, :, i]) * valid[:, :, i]).sum() \
+            / valid[:, :, i].sum()
+        total = total + ci / n_cb
+    return float(total)
+
+
+@pytest.mark.parametrize("cause_mismatch", [False, True])
+def test_loss_matches_reference_port(model, cause_mismatch):
+    """compute_loss == an independent line-by-line port of the reference
+    algorithm, incl. the targets-only cause_mismatch roll."""
+    params = dict(model.params)
+    # random audio_head so codebooks 1..31 actually contribute
+    params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(5), model.params["audio_head"].shape
+    ).astype(model.params["audio_head"].dtype) * 0.05
+    batch = {k: jnp.asarray(v) for k, v in _batch(model.args).items()}
+    ours = float(compute_loss(params, model.args, batch,
+                              cause_mismatch=cause_mismatch))
+    ref = _reference_loss(params, model.args, batch,
+                          cause_mismatch=cause_mismatch)
+    np.testing.assert_allclose(ours, ref, rtol=2e-5)
+
+
 def test_decoder_loss_fraction_runs(model):
     batch = {k: jnp.asarray(v) for k, v in _batch(model.args).items()}
     loss = compute_loss(model.params, model.args, batch,
