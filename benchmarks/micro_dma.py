@@ -220,3 +220,109 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def make_deep_stream_fn(chunk_rows, n_slots, stripes=1, compute=True):
+    """N-slot pipeline, optionally striping each chunk across `stripes`
+    concurrent DMAs, optionally skipping the dot (DMA-only)."""
+    cols = D
+    n_chunks = TOTAL_ROWS // chunk_rows
+    sub = chunk_rows // stripes
+
+    def kernel(xq_ref, w_hbm, out_ref):
+        def body(acc_ref, scratch, sems):
+            def dma(slot, idx, stripe):
+                r0 = idx * chunk_rows + stripe * sub
+                return pltpu.make_async_copy(
+                    w_hbm.at[pl.ds(r0, sub), :],
+                    scratch.at[slot, pl.ds(stripe * sub, sub), :],
+                    sems.at[slot, stripe],
+                )
+
+            def start_all(slot, idx):
+                for st in range(stripes):
+                    dma(slot, idx, st).start()
+
+            def wait_all(slot, idx):
+                for st in range(stripes):
+                    dma(slot, idx, st).wait()
+
+            for k in range(n_slots - 1):
+                start_all(k, k)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+            def loop(i, carry):
+                slot = jax.lax.rem(i, n_slots)
+
+                @pl.when(i + n_slots - 1 < n_chunks)
+                def _():
+                    start_all(jax.lax.rem(i + n_slots - 1, n_slots),
+                              i + n_slots - 1)
+
+                wait_all(slot, i)
+                if compute:
+                    p = jax.lax.dot_general(
+                        xq_ref[...], scratch[slot],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc_ref[...] += p[:, :D].astype(jnp.float32)
+                else:
+                    acc_ref[...] += scratch[slot][:1, :D].astype(jnp.float32)
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, loop, 0)
+            out_ref[...] = acc_ref[...]
+
+        pl.run_scoped(
+            body,
+            acc_ref=pltpu.VMEM((1, D), jnp.float32),
+            scratch=pltpu.VMEM((n_slots, chunk_rows, cols), jnp.int8),
+            sems=pltpu.SemaphoreType.DMA((n_slots, stripes)),
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
+        interpret=(jax.default_backend() == "cpu"),
+    )
+
+    @jax.jit
+    def run(xq, w):
+        def outer(i, carry):
+            xq, acc = carry
+            out = call(xq, w)
+            xq = xq + (out[:, :D] > 0).astype(jnp.int8)
+            return xq, acc + out[0, 0]
+
+        _, acc = jax.lax.fori_loop(0, K_LOOPS, outer, (xq, jnp.float32(0)))
+        return acc
+
+    return run
+
+
+def deep_main():
+    rng = np.random.RandomState(0)
+    xq = jnp.asarray(rng.randint(-127, 127, (1, D)), dtype=jnp.int8)
+    w = jnp.asarray(rng.randint(-127, 127, (TOTAL_ROWS, D)), dtype=jnp.int8)
+    full = TOTAL_ROWS * D
+    for tag, rows, slots, stripes, compute in (
+        ("slots4 2MB", 2048, 4, 1, True),
+        ("slots8 1MB", 1024, 8, 1, True),
+        ("slots4 2MB stripe4", 2048, 4, 4, True),
+        ("slots4 2MB dma-only", 2048, 4, 1, False),
+        ("slots2 4MB stripe8", 4096, 2, 8, True),
+    ):
+        run = make_deep_stream_fn(rows, slots, stripes, compute)
+        c, r = timed(run, xq, w)
+        report(tag, c, r, full)
+
+
+if os.environ.get("DEEP"):
+    deep_main()
+    raise SystemExit(0)

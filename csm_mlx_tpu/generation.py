@@ -47,7 +47,11 @@ from csm_mlx_tpu.ops.sampling import SamplerConfig, apply_processors
 PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 HISTORY_SIZE = 64  # c0 repetition-penalty window carry (>= mlx_lm's 20)
 FRAME_MS = 80  # one RVQ frame = 80 ms (generation.py:106)
-DECODER_SCAN_UNROLL = int(os.environ.get("CSM_TPU_DECODER_UNROLL", "5"))
+# Full unroll of the 30-step decoder inner loop: XLA software-pipelines the
+# per-step weight streaming across the whole frame (measured RTF 10.6 vs 8.7
+# at unroll=5 on TPU v5e; PERFORMANCE.md round 2). Override to trade compile
+# time for decode speed.
+DECODER_SCAN_UNROLL = int(os.environ.get("CSM_TPU_DECODER_UNROLL", "31"))
 
 
 def _dtype_name(dtype) -> str:
@@ -388,6 +392,24 @@ def _resolve_sampler(
     return sampler  # user-provided jittable callable (must be hashable)
 
 
+def _place_inputs(mesh, tokens, mask, pad_len, key):
+    """Shard generation inputs over the mesh's "data" axis (batch rows);
+    params carry their own shardings (parallel.shard_model) and jit
+    propagates both — XLA inserts the TP/DP collectives."""
+    if mesh is None:
+        return (jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(pad_len),
+                key)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
+    return (
+        jax.device_put(jnp.asarray(tokens), dp("data", None, None)),
+        jax.device_put(jnp.asarray(mask), dp("data", None, None)),
+        jax.device_put(jnp.asarray(pad_len), dp("data")),
+        jax.device_put(key, dp()),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -483,8 +505,13 @@ def generate_tokens(
     sampler: Optional[Any] = None,
     logits_processors: Optional[Sequence] = None,
     key: Optional[jax.Array] = None,
+    mesh: Optional[Any] = None,
 ) -> Tuple[np.ndarray, int]:
-    """Run the fused generation loop; returns (frames (F, 32) int32, F)."""
+    """Run the fused generation loop; returns (frames (F, 32) int32, F).
+
+    Pass `mesh=` (after `parallel.shard_model(model, mesh)`) to run
+    tensor-parallel over the mesh's "model" axis.
+    """
     args = model.args
     _check_context_window(args, prompt.shape[0], max_audio_frames)
     smp = _resolve_sampler(temperature, sampler)
@@ -496,8 +523,7 @@ def generate_tokens(
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
     frames, n = jax.device_get(
-        fn(model.params, jnp.asarray(tokens), jnp.asarray(mask),
-           jnp.asarray(pad_len), key)
+        fn(model.params, *_place_inputs(mesh, tokens, mask, pad_len, key))
     )
     n = int(n[0])
     return frames[:n, 0, :], n
@@ -513,11 +539,16 @@ def generate_tokens_batch(
     sampler: Optional[Any] = None,
     logits_processors: Optional[Sequence] = None,
     key: Optional[jax.Array] = None,
+    mesh: Optional[Any] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batch-parallel generation (new TPU capability; the reference is B=1).
 
     Prompts are left-padded to a common bucket; each row stops at its own
     all-zero EOS frame. Returns (frames (max_frames, B, 32), n_frames (B,)).
+
+    With `mesh=` (after `parallel.shard_model(model, mesh)`), rows shard
+    over the "data" axis and weights over "model" (tensor parallelism); the
+    batch size must be divisible by the "data" axis size.
     """
     args = model.args
     smp = _resolve_sampler(temperature, sampler)
@@ -541,8 +572,7 @@ def generate_tokens_batch(
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
     frames, n = jax.device_get(
-        fn(model.params, jnp.asarray(tokens), jnp.asarray(mask),
-           jnp.asarray(pad_len), key)
+        fn(model.params, *_place_inputs(mesh, tokens, mask, pad_len, key))
     )
     return frames, n
 
@@ -588,6 +618,7 @@ def generate(
     sampler: Optional[Any] = None,
     logits_processors: Optional[Sequence] = None,
     key: Optional[jax.Array] = None,
+    mesh: Optional[Any] = None,
 ) -> jax.Array:
     """Text (+ conversational context) -> 24 kHz waveform (generation.py:95-178)."""
     from csm_mlx_tpu.tokenizers import decode_audio
@@ -597,7 +628,7 @@ def generate(
     frames, n = generate_tokens(
         model, prompt, mask, max_frames,
         temperature=temperature, sampler=sampler,
-        logits_processors=logits_processors, key=key,
+        logits_processors=logits_processors, key=key, mesh=mesh,
     )
     if n == 0:
         print("[WARN] No samples generated.")

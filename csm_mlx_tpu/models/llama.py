@@ -70,6 +70,47 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
     return {"layers": layers, "norm": {"weight": jnp.ones((d,), dtype=dtype)}}
 
 
+def fuse_layer_weights(params: Params) -> None:
+    """Concatenate q/k/v -> qkv_proj and gate/up -> gateup_proj in place.
+
+    Decode-time matvecs on TPU pay a ~7 us fixed cost per call regardless of
+    size (benchmarks/micro_dma.py findings), so a 16-layer backbone step
+    spends more on call overhead than on FLOPs; fusing QKV (3 calls -> 1) and
+    gate+up (2 -> 1) makes each call wider instead. Works on raw
+    ({"weight"}) and quantized ({"weight_q","scales","biases"}) dicts —
+    everything concatenates along the output axis. Dicts carrying LoRA
+    adapters are left unfused (adapters address the unfused layout).
+
+    In-memory transform only: fused params are not meant to be saved back to
+    the reference checkpoint layout.
+    """
+
+    def fuse(dicts):
+        keys = set(dicts[0].keys())
+        if any(set(d.keys()) != keys for d in dicts):
+            return None
+        if not keys <= {"weight", "weight_q", "scales", "biases"}:
+            return None  # LoRA/bias/unknown layout: keep unfused
+        return {k: jnp.concatenate([d[k] for d in dicts], axis=0)
+                for k in keys}
+
+    for layer in params.get("layers", []):
+        attn = layer["self_attn"]
+        if "q_proj" in attn and "qkv_proj" not in attn:
+            fused = fuse([attn["q_proj"], attn["k_proj"], attn["v_proj"]])
+            if fused is not None:
+                attn["qkv_proj"] = fused
+                for k in ("q_proj", "k_proj", "v_proj"):
+                    del attn[k]
+        mlp = layer["mlp"]
+        if "gate_proj" in mlp and "gateup_proj" not in mlp:
+            fused = fuse([mlp["gate_proj"], mlp["up_proj"]])
+            if fused is not None:
+                mlp["gateup_proj"] = fused
+                for k in ("gate_proj", "up_proj"):
+                    del mlp[k]
+
+
 def _attn_layer(
     p: Params,
     cfg: LlamaConfig,
@@ -82,9 +123,22 @@ def _attn_layer(
     layer_idx: int,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     b, s, _ = x.shape
-    q = linear(p["q_proj"], x).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-    k = linear(p["k_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-    v = linear(p["v_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+    if "qkv_proj" in p:
+        # Fused QKV (see fuse_layer_weights): one wide matmul amortizes the
+        # per-call fixed cost that dominates M=1 decode matvecs on TPU.
+        attn_dim = cfg.attn_dim
+        kv_dim = cfg.num_key_value_heads * cfg.head_dim
+        qkv = linear(p["qkv_proj"], x)
+        q = qkv[..., :attn_dim].reshape(b, s, cfg.num_attention_heads,
+                                        cfg.head_dim)
+        k = qkv[..., attn_dim:attn_dim + kv_dim].reshape(
+            b, s, cfg.num_key_value_heads, cfg.head_dim)
+        v = qkv[..., attn_dim + kv_dim:].reshape(
+            b, s, cfg.num_key_value_heads, cfg.head_dim)
+    else:
+        q = linear(p["q_proj"], x).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+        k = linear(p["k_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+        v = linear(p["v_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
 
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)

@@ -123,7 +123,17 @@ def rms_norm(params: Params, x: jax.Array, eps: float) -> jax.Array:
 
 
 def swiglu_mlp(params: Dict[str, Params], x: jax.Array) -> jax.Array:
-    """down(silu(gate(x)) * up(x)) — mlx_lm Llama MLP."""
-    gate = linear(params["gate_proj"], x)
-    up = linear(params["up_proj"], x)
+    """down(silu(gate(x)) * up(x)) — mlx_lm Llama MLP.
+
+    With fused weights (see models.llama.fuse_layer_weights) gate and up run
+    as one wide matmul: decode-time matvecs pay a large fixed cost per call
+    on TPU, so fewer/wider calls are strictly faster.
+    """
+    if "gateup_proj" in params:
+        gu = linear(params["gateup_proj"], x)
+        f = gu.shape[-1] // 2
+        gate, up = gu[..., :f], gu[..., f:]
+    else:
+        gate = linear(params["gate_proj"], x)
+        up = linear(params["up_proj"], x)
     return linear(params["down_proj"], jax.nn.silu(gate) * up)

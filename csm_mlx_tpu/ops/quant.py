@@ -324,7 +324,8 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
                    min_size: int = 1 << 16,
                    mode: str = "affine",
                    targets=("backbone", "decoder", "projection",
-                            "codebook0_head")) -> None:
+                            "codebook0_head"),
+                   fuse: bool = True) -> None:
     """Quantize large Linear weights in model.params in place.
 
     mode="affine": MLX-parity grouped affine codes (uint8/uint4), VPU-dequant
@@ -353,3 +354,11 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
         if key in p:
             p[key] = _quantize_tree(p[key], bits, group_size, predicate,
                                     path=key, mode=mode)
+    if fuse:
+        # Fold q/k/v and gate/up into single wide matmuls (decode matvecs
+        # are fixed-cost-per-call bound; see models.llama.fuse_layer_weights).
+        from csm_mlx_tpu.models.llama import fuse_layer_weights
+
+        for key in ("backbone", "decoder"):
+            if key in p:
+                fuse_layer_weights(p[key])

@@ -11,6 +11,7 @@ from csm_mlx_tpu.parallel.mesh import (
     csm_param_spec,
     data_parallel_spec,
     shard_batch,
+    shard_model,
     shard_params,
 )
 
@@ -20,4 +21,5 @@ __all__ = [
     "data_parallel_spec",
     "shard_params",
     "shard_batch",
+    "shard_model",
 ]

@@ -49,11 +49,15 @@ def create_mesh(
 
 # (path regex, spec) — first match wins. Linear weights are (out, in).
 _CSM_TP_RULES: Tuple[Tuple[str, P], ...] = (
-    # attention: shard heads (out dim of q/k/v, in dim of o)
-    (r".*self_attn\.(q_proj|k_proj|v_proj)\.weight$", P("model", None)),
+    # attention: shard heads (out dim of q/k/v, in dim of o). The fused
+    # qkv/gateup variants shard the concatenated out dim — GSPMD keeps the
+    # math identical (it may insert extra reshard collectives around the
+    # q/k/v split; prefer unfused weights for TP).
+    (r".*self_attn\.(q_proj|k_proj|v_proj|qkv_proj)\.weight$",
+     P("model", None)),
     (r".*self_attn\.o_proj\.weight$", P(None, "model")),
     # mlp: shard hidden dim
-    (r".*mlp\.(gate_proj|up_proj)\.weight$", P("model", None)),
+    (r".*mlp\.(gate_proj|up_proj|gateup_proj)\.weight$", P("model", None)),
     (r".*mlp\.down_proj\.weight$", P(None, "model")),
     # output heads: shard vocab
     (r"codebook0_head\.weight$", P("model", None)),
@@ -118,3 +122,17 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch
     )
+
+
+def shard_model(model: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
+    """Place a CSM's params on `mesh` (TP rules over "model", replicated
+    over "data") in place. After this, `generate`/`generate_batch` accept
+    `mesh=` to shard the batch axis; jit propagates the weight shardings and
+    XLA inserts the collectives.
+
+    Tensor-parallel rules target the bf16 weight layout; quantize with
+    `fuse=False` (and prefer bf16) when tensor-sharding — the Pallas
+    quantized matvec is a single-device kernel.
+    """
+    model.params = shard_params(model.params, mesh, tensor_parallel)
+    return model

@@ -69,6 +69,33 @@ def test_tensor_parallel_forward_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
 
+def test_tp_generation_matches_single_device():
+    """Public-API tensor/batch-parallel generation (generate_tokens_batch
+    with mesh=) must produce the same greedy tokens as single-device."""
+    from csm_mlx_tpu.generation import generate_tokens_batch
+    from csm_mlx_tpu.parallel import shard_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
+    model.params["audio_head"] = (
+        jax.random.normal(jax.random.PRNGKey(7),
+                          model.params["audio_head"].shape) * 0.1
+    )
+    rng = np.random.RandomState(0)
+    k = model.args.n_audio_codebooks + 1
+    prompts = [rng.randint(0, 60, (10, k)).astype(np.int32) for _ in range(2)]
+    masks = [np.ones_like(p) for p in prompts]
+
+    want, n_want = generate_tokens_batch(model, prompts, masks, 4,
+                                         temperature=0.0)
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    shard_model(model, mesh)
+    got, n_got = generate_tokens_batch(model, prompts, masks, 4,
+                                       temperature=0.0, mesh=mesh)
+    np.testing.assert_array_equal(n_got, n_want)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_data_parallel_train_step():
     """One DP train step on a 8-way data mesh runs and updates params."""
     from csm_mlx_tpu.finetune.trainer import CSMTrainer, TrainArgs
