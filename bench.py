@@ -57,17 +57,19 @@ def main() -> None:
     model = CSM(csm_1b(), dtype=dtype, rng=jax.random.PRNGKey(0))
     args = model.args
 
-    # Default: the W8A8 MXU-quantized path — the fastest measured config
-    # (RTF 5.0 vs 4.0 bf16 in the same window; PERFORMANCE.md). This mirrors
-    # the reference, whose headline number is also its quantized mode
-    # (README.md:142). BENCH_QUANT=0 benches the bf16 parity path.
+    # Default: the W8A8 MXU-quantized path with fused QKV/gate-up layouts —
+    # the fastest measured config (PERFORMANCE.md round 2: RTF 10.6). This
+    # mirrors the reference, whose headline number is also its quantized
+    # mode (README.md:142). BENCH_QUANT=0 benches the bf16 parity path.
+    # Targets match quantize_model's defaults.
     quant_bits = int(os.environ.get("BENCH_QUANT", "8"))
     if quant_bits:
         from csm_mlx_tpu.ops.quant import quantize_model
 
         mode = os.environ.get("BENCH_QUANT_MODE", "w8a8")
         targets = tuple(os.environ.get(
-            "BENCH_QUANT_TARGETS", "backbone,decoder,projection").split(","))
+            "BENCH_QUANT_TARGETS",
+            "backbone,decoder,projection,codebook0_head").split(","))
         quantize_model(model, bits=quant_bits,
                        group_size=int(os.environ.get("BENCH_QUANT_GROUP", "64")),
                        mode=mode, targets=targets)

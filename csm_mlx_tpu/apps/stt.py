@@ -4,7 +4,15 @@ Capability parity with `/root/reference/stt_processor.py` (itself derived
 from ufal/whisper_streaming, MIT): a lazily-loaded ASR backend wrapper plus
 `OnlineASRProcessor`, which maintains a growing audio buffer, runs
 incremental transcription, accumulates a text prompt for conditioning, and
-trims the buffer to just before the last committed segment end.
+trims the buffer to just before the last committed point.
+
+Beyond the reference (which commits each iteration's last segment
+unconditionally, stt_processor.py:180-254), the commit policy here is
+upstream whisper_streaming's **LocalAgreement-2**: a word is committed only
+once two consecutive hypotheses agree on it, so text the next pass would
+have revised is never sent downstream. The prompt is accumulated from
+committed text that has scrolled out of the trimmed buffer, exactly the
+reference's `prompt_update` behavior.
 
 The ASR backend is pluggable (`AsrBackend` protocol): `FasterWhisperASR`
 works when the faster-whisper package is installed (it is not part of this
@@ -14,7 +22,7 @@ image); tests and offline use can plug any callable backend.
 from __future__ import annotations
 
 import logging
-from typing import Iterable, List, Optional, Protocol, Tuple
+from typing import List, Optional, Protocol, Tuple
 
 import numpy as np
 
@@ -23,15 +31,37 @@ logger = logging.getLogger(__name__)
 SAMPLING_RATE = 16000
 
 
+class AsrWord:
+    """One word with absolute-in-buffer times."""
+
+    def __init__(self, start: float, end: float, word: str):
+        self.start = start
+        self.end = end
+        self.word = word
+
+
 class AsrSegment:
-    """One transcribed segment with word-level timestamps (optional)."""
+    """One transcribed segment with optional word-level timestamps."""
 
     def __init__(self, start: float, end: float, text: str,
-                 no_speech_prob: float = 0.0):
+                 no_speech_prob: float = 0.0,
+                 words: Optional[List[AsrWord]] = None):
         self.start = start
         self.end = end
         self.text = text
         self.no_speech_prob = no_speech_prob
+        self.words = words
+
+    def word_list(self) -> List[AsrWord]:
+        """Words; if the backend gave none, split the text evenly in time."""
+        if self.words:
+            return self.words
+        toks = self.text.split()
+        if not toks:
+            return []
+        dur = (self.end - self.start) / len(toks)
+        return [AsrWord(self.start + i * dur, self.start + (i + 1) * dur, w)
+                for i, w in enumerate(toks)]
 
 
 class AsrBackend(Protocol):
@@ -69,7 +99,7 @@ class FasterWhisperASR:
         model = self._load()
         segments, _info = model.transcribe(
             audio,
-            language=self.language,
+            language=self.language if self.language != "auto" else None,
             initial_prompt=init_prompt,
             beam_size=5,
             word_timestamps=True,
@@ -78,28 +108,37 @@ class FasterWhisperASR:
         )
         out = []
         for seg in segments:
+            words = [AsrWord(w.start, w.end, w.word)
+                     for w in (seg.words or [])] or None
             out.append(AsrSegment(seg.start, seg.end, seg.text,
-                                  getattr(seg, "no_speech_prob", 0.0)))
+                                  getattr(seg, "no_speech_prob", 0.0), words))
         return out
 
 
+def _norm(word: str) -> str:
+    return word.strip().lower().strip(".,!?;:\"'")
+
+
 class OnlineASRProcessor:
-    """Incremental transcription over a growing buffer
-    (stt_processor.py:135-254).
+    """Incremental transcription with LocalAgreement-2 commits.
 
     insert_audio_chunk() appends 16 kHz mono audio; process_iter() runs the
-    backend over the whole buffer, commits every segment that ends >=1.5 s
-    before the buffer end (stable region), trims the buffer to the last
-    committed segment end - 1.5 s, and returns the newly committed text.
-    finish() flushes whatever remains.
+    backend over the buffer and commits the longest prefix of words on which
+    the previous and current hypotheses agree (so one revision pass is always
+    allowed before text is sent downstream); the buffer trims to the last
+    committed word end - TRIM_MARGIN_S and the prompt carries the committed
+    text across trims (stt_processor.py:170-230 semantics). finish() flushes
+    whatever remains.
     """
 
     TRIM_MARGIN_S = 1.5
     NO_SPEECH_THRESHOLD = 0.9
 
-    def __init__(self, asr: AsrBackend, buffer_trimming_sec: float = 15.0):
+    def __init__(self, asr: AsrBackend, buffer_trimming_sec: float = 15.0,
+                 min_chunk_seconds: float = 0.0):
         self.asr = asr
         self.buffer_trimming_sec = buffer_trimming_sec
+        self.min_chunk_seconds = min_chunk_seconds
         self.init()
 
     def init(self):
@@ -107,60 +146,91 @@ class OnlineASRProcessor:
         self.buffer_time_offset = 0.0
         self.committed: List[Tuple[float, float, str]] = []
         self.prompt_text = ""
+        self._prev_hyp: List[AsrWord] = []   # last iteration's uncommitted tail
+        self._since_last_process = 0.0
 
     def insert_audio_chunk(self, audio: np.ndarray):
-        self.audio_buffer = np.append(
-            self.audio_buffer, np.asarray(audio, dtype=np.float32))
+        audio = np.asarray(audio, dtype=np.float32)
+        self.audio_buffer = np.append(self.audio_buffer, audio)
+        self._since_last_process += len(audio) / SAMPLING_RATE
 
-    def _buffer_end_time(self) -> float:
-        return self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE
-
-    def process_iter(self) -> str:
-        """Transcribe the buffer; return newly committed text ("" if none)."""
-        if len(self.audio_buffer) < SAMPLING_RATE // 2:
-            return ""
+    def _hypothesis(self) -> List[AsrWord]:
+        """Transcribe the buffer -> flat word list (absolute times)."""
         segments = self.asr.transcribe(self.audio_buffer,
                                        init_prompt=self.prompt_text[-200:])
-        end_time = len(self.audio_buffer) / SAMPLING_RATE
-        new_text: List[str] = []
-        last_committed_end = None
+        words: List[AsrWord] = []
         for seg in segments:
             if seg.no_speech_prob > self.NO_SPEECH_THRESHOLD:
                 continue
-            if seg.end <= end_time - self.TRIM_MARGIN_S:
-                abs_start = seg.start + self.buffer_time_offset
-                abs_end = seg.end + self.buffer_time_offset
-                self.committed.append((abs_start, abs_end, seg.text))
-                new_text.append(seg.text)
-                last_committed_end = seg.end
-        if last_committed_end is not None:
-            self._trim_to(last_committed_end - self.TRIM_MARGIN_S)
-        elif end_time > self.buffer_trimming_sec:
-            # Safety valve: no commits but the buffer keeps growing.
-            self._trim_to(end_time - self.buffer_trimming_sec)
-        text = " ".join(t.strip() for t in new_text if t.strip())
+            for w in seg.word_list():
+                words.append(AsrWord(w.start + self.buffer_time_offset,
+                                     w.end + self.buffer_time_offset, w.word))
+        return words
+
+    def _commit(self, words: List[AsrWord]) -> str:
+        for w in words:
+            self.committed.append((w.start, w.end, w.word))
+        text = " ".join(w.word.strip() for w in words if w.word.strip())
         if text:
             self.prompt_text = (self.prompt_text + " " + text).strip()
         return text
 
-    def _trim_to(self, t: float):
-        if t <= 0:
+    def process_iter(self) -> str:
+        """Return newly agreed-upon text ("" if none yet)."""
+        if len(self.audio_buffer) < SAMPLING_RATE // 2:
+            return ""
+        if self._since_last_process < self.min_chunk_seconds:
+            return ""
+        self._since_last_process = 0.0
+
+        hyp = self._hypothesis()
+        # Drop words already committed (the untrimmed buffer re-transcribes
+        # them); time-based with a small tolerance for ASR jitter.
+        if self.committed:
+            last_end = self.committed[-1][1]
+            hyp = [w for w in hyp if w.end > last_end + 0.01]
+        # LocalAgreement-2: commit the longest common prefix (by normalized
+        # word) of the previous and current hypotheses.
+        agreed: List[AsrWord] = []
+        for prev, cur in zip(self._prev_hyp, hyp):
+            if _norm(prev.word) == _norm(cur.word) and _norm(cur.word):
+                agreed.append(cur)
+            else:
+                break
+        self._prev_hyp = hyp[len(agreed):]
+        text = self._commit(agreed)
+
+        if agreed:
+            self._trim_to_abs(agreed[-1].end - self.TRIM_MARGIN_S)
+        elif len(self.audio_buffer) / SAMPLING_RATE > self.buffer_trimming_sec:
+            # Safety valve: nothing agreed but the buffer keeps growing.
+            self._trim_to_abs(self.buffer_time_offset
+                              + len(self.audio_buffer) / SAMPLING_RATE
+                              - self.buffer_trimming_sec)
+        return text
+
+    def _trim_to_abs(self, t_abs: float):
+        """Drop buffer audio before absolute time t_abs."""
+        rel = t_abs - self.buffer_time_offset
+        if rel <= 0:
             return
-        cut = int(t * SAMPLING_RATE)
-        cut = min(cut, len(self.audio_buffer))
+        cut = min(int(rel * SAMPLING_RATE), len(self.audio_buffer))
         self.audio_buffer = self.audio_buffer[cut:]
         self.buffer_time_offset += cut / SAMPLING_RATE
+        # keep only the tail of _prev_hyp that is still inside the buffer
+        self._prev_hyp = [w for w in self._prev_hyp
+                          if w.end > self.buffer_time_offset]
 
     def finish(self) -> str:
-        """Flush: transcribe and commit everything left (stt:245-254)."""
+        """Flush: commit the current best hypothesis (stt:245-254)."""
         if len(self.audio_buffer) < SAMPLING_RATE // 10:
             return ""
-        segments = self.asr.transcribe(self.audio_buffer,
-                                       init_prompt=self.prompt_text[-200:])
-        texts = [s.text for s in segments
-                 if s.no_speech_prob <= self.NO_SPEECH_THRESHOLD]
+        hyp = self._hypothesis()
+        if self.committed:
+            last_end = self.committed[-1][1]
+            hyp = [w for w in hyp if w.end > last_end + 0.01]
+        text = self._commit(hyp)
         self.audio_buffer = np.zeros((0,), dtype=np.float32)
-        text = " ".join(t.strip() for t in texts if t.strip())
-        if text:
-            self.prompt_text = (self.prompt_text + " " + text).strip()
+        self._prev_hyp = []
+        self._since_last_process = 0.0
         return text

@@ -31,7 +31,7 @@ import re
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Protocol
+from typing import Callable, Iterator, List, Optional, Protocol
 
 import numpy as np
 
@@ -41,6 +41,7 @@ LLM_RESPONSE_END = "<LLM_RESPONSE_END>"       # sentinel (reference :105)
 MAX_CONTEXT_SEGMENTS = 6                       # rolling window (:102)
 LATENCY_THRESHOLD = 7.0                        # acceptable response s (:77)
 TTS_TIMEOUT_S = 30.0                           # per-segment timeout (:992)
+LLM_STREAM_TIMEOUT_S = 30.0                    # stuck-LLM safety valve
 COOLDOWN_S = 0.5                               # post-TTS mic cooldown (:1142)
 FADE_CHUNKS = 10                               # barge-in fade-out (:170-205)
 STT_SAMPLE_RATE = 16000
@@ -85,13 +86,15 @@ class SoundDeviceIO:
     """Real mic/speaker backend (requires the sounddevice package)."""
 
     def __init__(self, in_rate=STT_SAMPLE_RATE, out_rate=TTS_SAMPLE_RATE,
-                 block_ms=50):
+                 block_ms=50, input_device=None, output_device=None):
         import sounddevice as sd
 
         self._sd = sd
         self.in_rate = in_rate
         self.out_rate = out_rate
         self.block = int(in_rate * block_ms / 1000)
+        self.input_device = input_device
+        self.output_device = output_device
         self._in_stream = None
         self._out_stream = None
         self._out_buffer = np.zeros((0,), dtype=np.float32)
@@ -112,9 +115,10 @@ class SoundDeviceIO:
 
         self._in_stream = sd.InputStream(
             samplerate=self.in_rate, channels=1, blocksize=self.block,
-            callback=in_cb)
+            callback=in_cb, device=self.input_device)
         self._out_stream = sd.OutputStream(
-            samplerate=self.out_rate, channels=1, callback=out_cb)
+            samplerate=self.out_rate, channels=1, callback=out_cb,
+            device=self.output_device)
         self._in_stream.start()
         self._out_stream.start()
 
@@ -130,14 +134,85 @@ class SoundDeviceIO:
                 s.close()
 
 
-LLMBackend = Callable[[List[dict]], str]
-"""messages [{role, content}] -> assistant reply text."""
+LLMBackend = Callable[[List[dict]], "str | Iterator[str]"]
+"""messages [{role, content}] -> assistant reply.
+
+Backends may return either a complete string (blocking) or an iterator of
+text chunks (streaming, like the reference's mlx_lm token iterator at
+run_streaming_csm_mlx.py:577-583); the llm worker handles both and emits
+sentences to TTS incrementally as they complete."""
 
 
 def echo_llm(messages: List[dict]) -> str:
     """Fallback LLM: repeat the user (for tests / wiring checks)."""
     user = [m for m in messages if m["role"] == "user"]
     return f"You said: {user[-1]['content']}" if user else "Hello!"
+
+
+class TransformersLLM:
+    """Streaming chat backend over any local HF causal LM (the TPU-image
+    replacement for the reference's mlx_lm Phi-3 default, :777-827).
+
+    Runs `model.generate` in a worker thread with a TextIteratorStreamer and
+    yields text chunks as they decode. Construct from a local model path
+    (`TransformersLLM("/path/to/model")`) or from already-loaded
+    (model, tokenizer) objects.
+    """
+
+    def __init__(self, model_or_path, tokenizer=None, max_tokens: int = 256,
+                 temperature: float = 0.7, device: str = "cpu"):
+        if isinstance(model_or_path, str):
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(model_or_path)
+            self.model = AutoModelForCausalLM.from_pretrained(
+                model_or_path).to(device).eval()
+        else:
+            self.model = model_or_path
+            self.tokenizer = tokenizer
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+
+    def _prompt(self, messages: List[dict]) -> str:
+        tok = self.tokenizer
+        if getattr(tok, "chat_template", None):
+            return tok.apply_chat_template(messages, tokenize=False,
+                                           add_generation_prompt=True)
+        lines = [f"{m['role']}: {m['content']}" for m in messages]
+        return "\n".join(lines) + "\nassistant:"
+
+    def __call__(self, messages: List[dict]):
+        import threading
+
+        import torch
+        from transformers import TextIteratorStreamer
+
+        inputs = self.tokenizer(self._prompt(messages), return_tensors="pt")
+        inputs.pop("token_type_ids", None)  # fast tokenizers emit it; LMs don't take it
+        streamer = TextIteratorStreamer(self.tokenizer, skip_prompt=True,
+                                        skip_special_tokens=True,
+                                        timeout=LLM_STREAM_TIMEOUT_S)
+        kwargs = dict(
+            **inputs, streamer=streamer,
+            max_new_tokens=self.max_tokens,
+            do_sample=self.temperature > 0,
+            pad_token_id=self.tokenizer.pad_token_id
+            if self.tokenizer.pad_token_id is not None
+            else self.tokenizer.eos_token_id,
+        )
+        if self.temperature > 0:
+            kwargs["temperature"] = self.temperature
+
+        def run():
+            try:
+                with torch.no_grad():
+                    self.model.generate(**kwargs)
+            except Exception:  # end the stream so consumers never hang
+                logger.exception("LLM generation failed")
+                streamer.end()
+
+        threading.Thread(target=run, daemon=True).start()
+        return streamer
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +274,7 @@ class ConversationState:
     messages: List[dict] = field(default_factory=list)
     context_segments: List = field(default_factory=list)
     llm_start: float = 0.0
+    dump_audio: Optional[List[np.ndarray]] = None  # set when dumping a wav
 
     def record_llm_start(self):
         self.llm_start = time.monotonic()
@@ -267,17 +343,24 @@ async def llm_worker(state: ConversationState, llm: LLMBackend,
     (reference :523-664)."""
     loop = asyncio.get_running_loop()
     pending: List[str] = []
+    last_text_time = 0.0
     while not state.shutdown.is_set():
         try:
             text = await asyncio.wait_for(state.stt_out_q.get(), timeout=0.25)
         except asyncio.TimeoutError:
-            if not pending:
+            # Flush mid-sentence accumulations only after a real pause —
+            # a LocalAgreement STT commits word-by-word, and firing the LLM
+            # on a half sentence wastes a turn.
+            if not pending or time.monotonic() - last_text_time < 1.0:
                 continue
             text = None
         if text is not None:
             pending.append(text)
-            # keep accumulating while more STT text is queued
-            if not state.stt_out_q.empty():
+            last_text_time = time.monotonic()
+            # Accumulate until the transcript looks finished (sentence-end
+            # punctuation, reference :552-560) or the pause flush above.
+            joined = " ".join(pending).strip()
+            if not _SENTENCE_END_RE.search(joined[-3:] + " "):
                 continue
         user_text = " ".join(pending).strip()
         pending = []
@@ -285,16 +368,91 @@ async def llm_worker(state: ConversationState, llm: LLMBackend,
             continue
         state.record_llm_start()
         state.messages.append({"role": "user", "content": user_text})
-        reply = await loop.run_in_executor(executor, llm, list(state.messages))
-        reply = scrub_llm_text(reply)
-        if is_likely_garbage(reply):
-            logger.warning("Dropping garbage LLM output: %r", reply[:80])
-            state.messages.pop()
-            continue
-        state.messages.append({"role": "assistant", "content": reply})
-        for sentence in split_sentences(reply):
-            await state.llm_out_q.put(sentence)
+        result = await loop.run_in_executor(executor, llm, list(state.messages))
+        emitted = await _stream_llm_reply(state, result, loop, executor)
+        if emitted:
+            state.messages.append({"role": "assistant",
+                                   "content": " ".join(emitted)})
+        else:
+            state.messages.pop()  # nothing usable came back
         await state.llm_out_q.put(LLM_RESPONSE_END)
+
+
+# Behavior-defining stop strings (reference :571-575): generation ends at the
+# chat end token; a role marker appearing mid-output means the model ran past
+# its turn, so the reply truncates there. A *leading* chat header (e.g. the
+# "<|assistant|>" a raw decode starts with) is stripped, not a stop.
+_LLM_END_TOKEN = "<|eot_id|>"
+_LLM_ROLE_MARKERS = ("user|>", "assistant|>", "<|end|>")
+_LEADING_HEADER_RE = re.compile(r"^\s*(?:<\|[a-zA-Z_]+\|>\s*|</?s>\s*)+")
+
+
+async def _stream_llm_reply(state: ConversationState, result, loop,
+                            executor) -> List[str]:
+    """Consume a blocking-str or streaming-iterator LLM reply, emitting
+    scrubbed sentences to the TTS queue as soon as each one completes
+    (incremental sentence-end detection over the token stream; reference
+    :585-647 accumulates then splits — streaming the sentences out cuts
+    time-to-first-audio by the remaining generation time)."""
+    emitted: List[str] = []
+    buf = ""
+    done = False
+
+    async def drain(final: bool) -> None:
+        """Emit the scrubbed complete sentences at the head of the raw
+        buffer; the (possibly mid-sentence, mid-control-token) tail stays
+        buffered verbatim so chunk boundaries never eat characters."""
+        nonlocal buf
+        if final:
+            head, buf = buf, ""
+        else:
+            last = None
+            for m in _SENTENCE_END_RE.finditer(buf):
+                last = m.end()
+            if last is None:
+                return
+            head, buf = buf[:last], buf[last:]
+        for s in split_sentences(scrub_llm_text(head)):
+            if is_likely_garbage(s):
+                logger.warning("Dropping garbage LLM sentence: %r", s[:80])
+                continue
+            emitted.append(s)
+            await state.llm_out_q.put(s)
+
+    if isinstance(result, str):
+        chunks = iter([result])
+    else:
+        chunks = iter(result)
+
+    started = False
+    while not done and not state.shutdown.is_set():
+        try:
+            chunk = await asyncio.wait_for(
+                loop.run_in_executor(executor, lambda: next(chunks, None)),
+                timeout=LLM_STREAM_TIMEOUT_S,
+            )
+        except Exception as e:  # timeout / streamer Empty / backend error
+            logger.warning("LLM stream ended abnormally (%s); flushing",
+                           type(e).__name__)
+            break
+        if chunk is None:
+            break
+        buf += chunk.replace("\n\n", ". ")
+        if not started:
+            buf = _LEADING_HEADER_RE.sub("", buf)
+            started = bool(buf.strip()) and not buf.lstrip().startswith("<")
+        # stop markers (end token / run-past-turn role markers)
+        cut = len(buf)
+        for marker in (_LLM_END_TOKEN,) + _LLM_ROLE_MARKERS:
+            pos = buf.find(marker)
+            if pos != -1:
+                cut = min(cut, pos)
+        if cut < len(buf):
+            buf = buf[:cut]
+            done = True
+        await drain(final=done)
+    await drain(final=True)
+    return emitted
 
 
 async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
@@ -343,6 +501,8 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                 fade_remaining -= 1
             audio_io.play(chunk)
             chunks.append(chunk)
+            if state.dump_audio is not None:
+                state.dump_audio.append(chunk)
             if fade_remaining == 0:
                 break
 
@@ -382,13 +542,19 @@ class VoiceChatPipeline:
 
     def __init__(self, stt, llm: LLMBackend, tts_stream_fn,
                  audio_io: Optional[AudioIO] = None, speaker: int = 0,
-                 max_workers: int = 4):
+                 max_workers: int = 4, output_file: Optional[str] = None,
+                 initial_context: Optional[List] = None):
         self.stt = stt
         self.llm = llm
         self.tts_stream_fn = tts_stream_fn
         self.audio_io = audio_io or NullAudioIO()
         self.speaker = speaker
         self.state = ConversationState()
+        if initial_context:
+            self.state.context_segments.extend(initial_context)
+        self.output_file = output_file
+        if output_file:
+            self.state.dump_audio = []
         self.executor = ThreadPoolExecutor(max_workers=max_workers)
 
     async def run_async(self, duration: Optional[float] = None) -> None:
@@ -417,6 +583,18 @@ class VoiceChatPipeline:
                 t.cancel()
             self.audio_io.stop()
             self.executor.shutdown(wait=False)
+            self._dump_wav()
+
+    def _dump_wav(self) -> None:
+        """Save the session's generated audio (reference :1295-1307)."""
+        if not (self.output_file and self.state.dump_audio):
+            return
+        from csm_mlx_tpu.utils.audio import write_audio
+
+        audio = np.concatenate(self.state.dump_audio)
+        write_audio(audio, self.output_file, TTS_SAMPLE_RATE)
+        logger.info("Saved %d samples of session audio to %s",
+                    len(audio), self.output_file)
 
     def run(self, duration: Optional[float] = None) -> None:
         asyncio.run(self.run_async(duration))
@@ -432,27 +610,92 @@ def build_tts_stream_fn(model, **gen_kwargs):
     return fn
 
 
-def main() -> None:
+def _build_parser() -> argparse.ArgumentParser:
+    """Flag surface parity with run_streaming_csm_mlx.py:1312-1352."""
     parser = argparse.ArgumentParser(
-        description="Real-time voice chat (mic -> STT -> LLM -> CSM TTS)")
-    parser.add_argument("--weight", default="senstella/csm-1b-mlx")
-    parser.add_argument("--adapter-file", default=None)
-    parser.add_argument("--speaker", type=int, default=0)
-    parser.add_argument("--temperature", type=float, default=0.8)
-    parser.add_argument("--quantize", action="store_true")
-    parser.add_argument("--quantize-bits", type=int, default=4)
-    parser.add_argument("--quantize-group-size", type=int, default=64)
-    parser.add_argument("--whisper-model", default="large-v3")
-    parser.add_argument("--stt-language", default="en")
-    parser.add_argument("--max-audio-length-ms", type=float, default=10_000)
-    parser.add_argument("--duration", type=float, default=None)
-    args = parser.parse_args()
+        description="Real-time voice chat (mic -> STT -> LLM -> CSM TTS)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("-i", "--input-device", type=int, default=None,
+                        help="Input audio device id")
+    parser.add_argument("-o", "--output-device", type=int, default=None,
+                        help="Output audio device id")
+    parser.add_argument("--output-file", type=str, default=None,
+                        help="Save the session's generated audio as a WAV")
+    parser.add_argument("--list-devices", action="store_true",
+                        help="List audio devices and exit")
+    parser.add_argument("--duration", type=float, default=None,
+                        help="Stop after N seconds (default: run until ^C)")
+
+    m = parser.add_argument_group("TTS model and quantization")
+    m.add_argument("--model-repo", "--weight", dest="model_repo",
+                   default="senstella/csm-1b-mlx")
+    m.add_argument("--adapter-file", default=None)
+    m.add_argument("--quantize", action="store_true")
+    m.add_argument("--quantize-bits", type=int, default=4)
+    m.add_argument("--quantize-group-size", type=int, default=64)
+    m.add_argument("--quantize-mode", default="affine",
+                   choices=["affine", "w8a8", "w4a8"],
+                   help="'w8a8' is the fastest TPU decode path")
+
+    s = parser.add_argument_group("STT parameters")
+    s.add_argument("--stt-model-size", "--whisper-model",
+                   dest="stt_model_size", default="tiny.en")
+    s.add_argument("--stt-device", default="cpu")
+    s.add_argument("--stt-compute-type", default="int8")
+    s.add_argument("--stt-lang", "--stt-language", dest="stt_lang",
+                   default="en")
+    s.add_argument("--online-min-chunk-seconds", type=float, default=0.2)
+
+    g = parser.add_argument_group("TTS generation parameters")
+    g.add_argument("-s", "--speaker", type=int, default=0)
+    g.add_argument("-t", "--temperature", type=float, default=0.6)
+    g.add_argument("-k", "--top-k", type=int, default=50)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--min-p", type=float, default=0.05)
+    g.add_argument("--max-audio-length-ms", type=float, default=10_000)
+
+    c = parser.add_argument_group("initial context (optional)")
+    c.add_argument("--context-audio", type=str, nargs="*")
+    c.add_argument("--context-text", type=str, nargs="*")
+    c.add_argument("--context-speaker", type=str, nargs="*")
+
+    l = parser.add_argument_group("LLM parameters")
+    l.add_argument("--llm-model-path", type=str, default=None,
+                   help="Local path / HF dir of a transformers causal LM; "
+                        "omit for the echo backend")
+    l.add_argument("--llm-max-tokens", type=int, default=256)
+    l.add_argument("--llm-temp", type=float, default=0.7)
+    return parser
+
+
+def _load_context(args) -> List:
+    """(--context-audio/-text/-speaker) -> Segments (reference :1202-1213)."""
+    from csm_mlx_tpu.segment import Segment
+
+    audios = args.context_audio or []
+    texts = args.context_text or []
+    speakers = args.context_speaker or []
+    if not (len(audios) == len(texts) == len(speakers)):
+        raise SystemExit("--context-audio/-text/-speaker must have equal "
+                         "lengths")
+    return [Segment(int(spk), txt, audio_path=ap)
+            for ap, txt, spk in zip(audios, texts, speakers)]
+
+
+def main() -> None:
+    args = _build_parser().parse_args()
+    if args.list_devices:
+        import sounddevice as sd
+
+        print(sd.query_devices())
+        return
 
     from csm_mlx_tpu.cli.generate import parse_weight_argument
     from csm_mlx_tpu.models.csm import CSM, csm_1b
+    from csm_mlx_tpu.ops.sampling import SamplerConfig
 
     model = CSM(csm_1b())
-    model.load_weights(parse_weight_argument(args.weight))
+    model.load_weights(parse_weight_argument(args.model_repo))
     if args.adapter_file:
         from csm_mlx_tpu.finetune.lora import load_adapters
 
@@ -461,17 +704,31 @@ def main() -> None:
         from csm_mlx_tpu.ops.quant import quantize_model
 
         quantize_model(model, bits=args.quantize_bits,
-                       group_size=args.quantize_group_size)
+                       group_size=args.quantize_group_size,
+                       mode=args.quantize_mode)
 
     from csm_mlx_tpu.apps.stt import FasterWhisperASR, OnlineASRProcessor
 
-    stt = OnlineASRProcessor(FasterWhisperASR(args.whisper_model,
-                                              language=args.stt_language))
-    tts = build_tts_stream_fn(model, temperature=args.temperature,
+    stt = OnlineASRProcessor(
+        FasterWhisperASR(args.stt_model_size, language=args.stt_lang,
+                         device=args.stt_device,
+                         compute_type=args.stt_compute_type),
+        min_chunk_seconds=args.online_min_chunk_seconds,
+    )
+    sampler = SamplerConfig(temperature=args.temperature, top_k=args.top_k,
+                            top_p=args.top_p, min_p=args.min_p)
+    tts = build_tts_stream_fn(model, sampler=sampler,
                               max_audio_length_ms=args.max_audio_length_ms)
-    audio_io = SoundDeviceIO()
-    VoiceChatPipeline(stt, echo_llm, tts, audio_io,
-                      speaker=args.speaker).run(args.duration)
+    llm: LLMBackend = echo_llm
+    if args.llm_model_path:
+        llm = TransformersLLM(args.llm_model_path,
+                              max_tokens=args.llm_max_tokens,
+                              temperature=args.llm_temp)
+    audio_io = SoundDeviceIO(input_device=args.input_device,
+                             output_device=args.output_device)
+    VoiceChatPipeline(stt, llm, tts, audio_io, speaker=args.speaker,
+                      output_file=args.output_file,
+                      initial_context=_load_context(args)).run(args.duration)
 
 
 if __name__ == "__main__":

@@ -59,16 +59,61 @@ class FakeASR:
         return [AsrSegment(i, i + 1, f"word{i}") for i in range(seconds)]
 
 
-def test_online_asr_commits_and_trims():
+def test_online_asr_local_agreement_commits_and_trims():
     proc = OnlineASRProcessor(FakeASR())
     proc.insert_audio_chunk(np.zeros(16000 * 4, dtype=np.float32))
+    # LocalAgreement-2: the first pass has nothing to agree with.
+    assert proc.process_iter() == ""
+    # Second pass over the same audio agrees on everything.
     text = proc.process_iter()
-    # 4s buffer: segments ending <= 2.5s are committed (margin 1.5s)
-    assert "word0" in text and "word1" in text
-    assert proc.buffer_time_offset > 0  # trimmed
+    assert "word0" in text and "word3" in text
+    assert proc.buffer_time_offset > 0  # trimmed past the committed words
     final = proc.finish()
     assert isinstance(final, str)
     assert len(proc.audio_buffer) == 0
+
+
+class ScriptedHypASR:
+    """Returns a scripted sequence of word-level hypotheses."""
+
+    def __init__(self, hyps):
+        self.hyps = list(hyps)
+        self.i = 0
+
+    def transcribe(self, audio, init_prompt=""):
+        from csm_mlx_tpu.apps.stt import AsrWord
+
+        h = self.hyps[min(self.i, len(self.hyps) - 1)]
+        self.i += 1
+        return [AsrSegment(h[0][0], h[-1][1], " ".join(w for _, _, w in h),
+                           words=[AsrWord(s, e, w) for s, e, w in h])]
+
+
+def test_online_asr_never_commits_revised_words():
+    """A word the next pass revises must not reach downstream (the weakness
+    the round-1 commit policy had)."""
+    h1 = [(0.0, 0.4, "hello"), (0.4, 0.8, "wold")]           # misheard
+    h2 = [(0.0, 0.4, "hello"), (0.4, 0.8, "world"), (0.8, 1.2, "now")]
+    proc = OnlineASRProcessor(ScriptedHypASR([h1, h2, h2]))
+    proc.insert_audio_chunk(np.zeros(16000 * 2, dtype=np.float32))
+    assert proc.process_iter() == ""          # nothing agreed yet
+    t2 = proc.process_iter()                   # h1 vs h2 agree only on "hello"
+    assert t2 == "hello"
+    assert "wold" not in t2
+    t3 = proc.process_iter()                   # h2 vs h2: the revision lands
+    assert t3 == "world now"
+    all_text = " ".join(w for _, _, w in proc.committed)
+    assert "wold" not in all_text
+
+
+def test_online_asr_min_chunk_gating():
+    proc = OnlineASRProcessor(FakeASR(), min_chunk_seconds=1.0)
+    proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
+    assert proc.process_iter() == ""   # first pass: primes agreement
+    assert proc.process_iter() == ""   # gated: no new audio since last pass
+    proc.insert_audio_chunk(np.zeros(16000 * 2, dtype=np.float32))
+    text = proc.process_iter()         # enough new audio: agreement commits
+    assert "word0" in text
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +180,149 @@ def test_context_window_rolls():
         del pipe.state.context_segments[:-MAX_CONTEXT_SEGMENTS]
     assert len(pipe.state.context_segments) == MAX_CONTEXT_SEGMENTS
     assert pipe.state.context_segments[0].text == "s4"
+
+
+def test_streaming_llm_sentences_emitted_incrementally():
+    """The llm worker must push each completed sentence to TTS while the
+    token iterator is still producing (reference streams tokens,
+    run_streaming_csm_mlx.py:577-647; we stream the sentences out too)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from csm_mlx_tpu.apps.voice_chat import (ConversationState,
+                                             _stream_llm_reply)
+
+    state = ConversationState()
+    seen_at_third_chunk = []
+
+    def chunks():
+        yield "Hello wor"
+        yield "ld. This is"
+        seen_at_third_chunk.append(state.llm_out_q.qsize())
+        yield " more. <|eot_id|> trailing junk"
+
+    async def scenario():
+        loop = asyncio.get_running_loop()
+        with ThreadPoolExecutor(2) as ex:
+            return await _stream_llm_reply(state, chunks(), loop, ex)
+
+    emitted = asyncio.run(scenario())
+    assert emitted == ["Hello world.", "This is more."]
+    # first sentence was already queued before the third chunk was pulled
+    assert seen_at_third_chunk == [1]
+    # nothing after the end token leaked
+    q = []
+    while not state.llm_out_q.empty():
+        q.append(state.llm_out_q.get_nowait())
+    assert q == ["Hello world.", "This is more."]
+
+
+def test_streaming_llm_role_marker_truncates():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from csm_mlx_tpu.apps.voice_chat import (ConversationState,
+                                             _stream_llm_reply)
+
+    state = ConversationState()
+
+    def chunks():
+        yield "Sure thing. user|> pretend user turn."
+
+    async def scenario():
+        loop = asyncio.get_running_loop()
+        with ThreadPoolExecutor(2) as ex:
+            return await _stream_llm_reply(state, chunks(), loop, ex)
+
+    emitted = asyncio.run(scenario())
+    assert emitted == ["Sure thing."]
+
+
+def test_blocking_llm_backend_still_works():
+    """Plain messages->str backends remain supported."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from csm_mlx_tpu.apps.voice_chat import (ConversationState,
+                                             _stream_llm_reply)
+
+    state = ConversationState()
+
+    async def scenario():
+        loop = asyncio.get_running_loop()
+        with ThreadPoolExecutor(2) as ex:
+            return await _stream_llm_reply(
+                state, "<|assistant|>One. Two!</s>", loop, ex)
+
+    emitted = asyncio.run(scenario())
+    assert emitted == ["One.", "Two!"]
+
+
+def _tiny_hf_llm():
+    """A real (tiny, deterministic) transformers causal LM + tokenizer,
+    built offline: zero lm_head => greedy always picks token 0, whose vocab
+    entry is a full sentence."""
+    pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import LlamaConfig, LlamaForCausalLM, \
+        PreTrainedTokenizerFast
+    import torch
+
+    sentence = "Nice to meet you friend."
+    vocab = {sentence: 0, "<unk>": 1, "</s>": 2, "<pad>": 3}
+    for i, w in enumerate(["hello", "there", "user", "assistant", ":"],
+                          start=4):
+        vocab[w] = i
+    tok = Tokenizer(models.WordLevel(vocab=vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    hf_tok = PreTrainedTokenizerFast(tokenizer_object=tok,
+                                     unk_token="<unk>", eos_token="</s>",
+                                     pad_token="<pad>")
+    cfg = LlamaConfig(vocab_size=len(vocab), hidden_size=32,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, intermediate_size=64,
+                      max_position_embeddings=128,
+                      tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(cfg).eval()
+    with torch.no_grad():
+        model.lm_head.weight.zero_()  # all logits equal -> greedy picks id 0
+    return model, hf_tok, sentence
+
+
+def test_e2e_real_tiny_lm_drives_stt_llm_tts():
+    """STT -> (real transformers LM, streaming) -> TTS with fakes only at
+    the audio edges; the session audio dumps to a wav."""
+    import tempfile, os
+
+    from csm_mlx_tpu.apps.voice_chat import TransformersLLM
+
+    model, tok, sentence = _tiny_hf_llm()
+    llm = TransformersLLM(model, tok, max_tokens=1, temperature=0.0)
+
+    stt = ScriptedSTT("hello there.")
+    audio_io = NullAudioIO()
+    with tempfile.TemporaryDirectory() as td:
+        wav_path = os.path.join(td, "session.wav")
+        pipe = VoiceChatPipeline(stt, llm, fake_tts_stream, audio_io,
+                                 output_file=wav_path)
+
+        async def scenario():
+            run = asyncio.create_task(pipe.run_async(duration=4.0))
+            await asyncio.sleep(0.2)
+            for _ in range(8):
+                audio_io.feed(np.ones(4000, dtype=np.float32) * 0.2)
+                await asyncio.sleep(0.02)
+            await run
+
+        asyncio.run(scenario())
+        assert pipe.state.messages[0]["content"] == "hello there."
+        assert pipe.state.messages[-1]["role"] == "assistant"
+        assert sentence in pipe.state.messages[-1]["content"]
+        assert len(audio_io.played) >= 3           # TTS spoke
+        assert os.path.exists(wav_path)            # session audio dumped
+        from csm_mlx_tpu.utils.audio import read_audio
+
+        wav = read_audio(wav_path, 24000)
+        assert len(wav) >= 3 * 1920
 
 
 def test_barge_in_fades_and_flushes():
