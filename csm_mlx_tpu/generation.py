@@ -80,6 +80,21 @@ def _prefill(
     pad_len = jnp.reshape(pad_len, (-1,))  # (B,)
     positions = jnp.arange(p, dtype=jnp.int32)[None, :] - pad_len[:, None]  # (B, P)
     cap = cache.capacity if cache is not None else p
+    # Long prompts use the Pallas flash-prefill kernel (causal + left-pad
+    # masking in-kernel, no (P, cap) logits in HBM); short ones stay on the
+    # masked-einsum path where the mask tensors are trivial.
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and cache is not None
+        and p >= 256 and p % 128 == 0
+        and os.environ.get("CSM_TPU_FLASH_PREFILL", "1") == "1"
+    )
+    if use_flash:
+        hidden, cache = llama_forward(
+            params["backbone"], bcfg, embeds, cos_b, sin_b, positions,
+            None, cache, flash_pad_len=pad_len,
+        )
+        return hidden[:, -1, :], cache
     # Keys span the whole cache capacity; causal over the first P slots,
     # everything beyond the prompt (unwritten) and left-pad slots masked.
     causal = causal_mask_bias(p, cap)
@@ -131,6 +146,8 @@ def _decode_frame(
     cache primed with [backbone_hidden, c0_embed], then 30 more single-token
     decoder steps scoring against `audio_head[i-1]`.
     """
+    from csm_mlx_tpu.ops.quant import audio_head_logits
+
     dcfg = args.decoder_config
     b = last_hidden.shape[0]
     n_cb = args.n_audio_codebooks
@@ -160,10 +177,8 @@ def _decode_frame(
         jnp.arange(2, dtype=jnp.int32)[None], dec_bias(2, 0), dcache,
     )
     key, k1 = jax.random.split(key)
-    c1_logits = jnp.einsum(
-        "bd,dv->bv", hidden01[:, -1].astype(jnp.float32),
-        audio_head[0].astype(jnp.float32),
-    )
+    c1_logits = audio_head_logits(audio_head, 0, hidden01[:, -1],
+                                  args.n_audio_vocab)
     c1 = sampler(k1, c1_logits)
 
     # --- codebooks 2..31: lax.scan over single-token decoder steps ------
@@ -178,10 +193,8 @@ def _decode_frame(
             params["decoder"], dcfg, x, cos_d, sin_d, positions,
             dec_bias(1, dcache.index), dcache,
         )
-        logits = jnp.einsum(
-            "bd,dv->bv", hidden[:, 0].astype(jnp.float32),
-            audio_head[i - 1].astype(jnp.float32),
-        )
+        logits = audio_head_logits(audio_head, i - 1, hidden[:, 0],
+                                   args.n_audio_vocab)
         key, kk = jax.random.split(key)
         ci = sampler(kk, logits)
         return (dcache, key, ci), ci

@@ -121,8 +121,10 @@ def _attn_layer(
     mask_bias: Optional[jax.Array],
     cache: Optional[KVCache],
     layer_idx: int,
+    **kwargs,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     b, s, _ = x.shape
+    flash_pad_len = kwargs.get("flash_pad_len")
     if "qkv_proj" in p:
         # Fused QKV (see fuse_layer_weights): one wide matmul amortizes the
         # per-call fixed cost that dominates M=1 decode matvecs on TPU.
@@ -150,7 +152,17 @@ def _attn_layer(
     if cache is not None:
         cache, k, v = cache.update_layer(layer_idx, k, v)
 
-    out = sdpa(q, k, v, scale=cfg.head_dim ** -0.5, mask_bias=mask_bias)
+    if flash_pad_len is not None:
+        # Pallas flash prefill: causal + left-pad masking in-kernel over the
+        # first S cache slots (everything past the prompt is causally
+        # unreachable anyway); logits stay in VMEM.
+        from csm_mlx_tpu.ops.attention import flash_prefill_sdpa
+
+        out = flash_prefill_sdpa(q, k[:, :, :s], v[:, :, :s],
+                                 scale=cfg.head_dim ** -0.5,
+                                 pad_len=flash_pad_len)
+    else:
+        out = sdpa(q, k, v, scale=cfg.head_dim ** -0.5, mask_bias=mask_bias)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, -1)
     return linear(p["o_proj"], out), cache
 
@@ -165,6 +177,7 @@ def llama_forward(
     mask_bias: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
     remat: bool = False,
+    flash_pad_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the stack.
 
@@ -177,6 +190,9 @@ def llama_forward(
         cache.index and attention runs over the whole capacity (caller masks
         invalid slots). The advanced cache is returned.
       remat: wrap each layer in jax.checkpoint (training memory saver).
+      flash_pad_len: (B,) left-pad lengths — when given, attention runs the
+        Pallas flash-prefill kernel (causal + left-pad masking in-kernel)
+        instead of the masked einsum path; requires a fresh cache (prefill).
 
     Returns (hidden (B, S, D), cache').
     """
@@ -185,6 +201,7 @@ def llama_forward(
         attn_out, cache = _attn_layer(
             lp["self_attn"], cfg, rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps),
             cos, sin, positions, mask_bias, cache, idx,
+            flash_pad_len=flash_pad_len,
         )
         x = x + attn_out
         h = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)

@@ -31,6 +31,80 @@ def key_validity_bias(valid: jax.Array) -> jax.Array:
     return jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[..., None, :]
 
 
+def flash_prefill_sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    pad_len: jax.Array,
+) -> jax.Array:
+    """Prefill attention as a Pallas kernel: causal + left-pad masking
+    computed in-register, logits never materialized in HBM.
+
+    The einsum path writes (B, H, S, S) fp32 logits+probs through HBM —
+    ~570 MB for a 2048-token prompt; this kernel streams K/V per kv-head
+    into VMEM and keeps each (group*BLK_Q, S) logits tile on-chip. This is
+    the TPU equivalent of the reference's fused Metal SDPA prefill
+    (/root/reference/csm_mlx/attention.py:247-249).
+
+    Args:
+      q: (B, n_heads, S, D) — S = prompt bucket (multiple of 32).
+      k, v: (B, n_kv, S, D) — the prompt's keys/values (cache[:, :, :S]).
+      pad_len: (B,) int32 left-padding; query i attends key j iff
+        pad_len[b] <= j <= i.
+
+    Returns (B, n_heads, S, D) in q.dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n_heads, s, d = q.shape
+    n_kv = k.shape[1]
+    group = n_heads // n_kv
+    blk_q = min(128, s)
+    q5 = q.reshape(b, n_kv, group, s, d)
+
+    def kernel(pad_ref, q_ref, k_ref, v_ref, o_ref):
+        qb = pl.program_id(2)
+        qt = q_ref[0, 0].reshape(group * blk_q, d).astype(jnp.float32)
+        kt = k_ref[0, 0].astype(jnp.float32)  # (S, D)
+        logits = jax.lax.dot_general(
+            qt, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (group*blk_q, S)
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (group * blk_q, s), 0)
+        q_pos = jax.lax.rem(q_idx, blk_q) + qb * blk_q
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (group * blk_q, s), 1)
+        ok = (k_pos <= q_pos) & (k_pos >= pad_ref[0])
+        logits = jnp.where(ok, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, 0] = out.reshape(group, blk_q, d).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_kv, s // blk_q),
+        in_specs=[
+            pl.BlockSpec((1,), lambda bi, hi, qi: (bi,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, group, blk_q, d),
+                         lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, group, blk_q, d),
+                               lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, group, s, d), q.dtype),
+        interpret=(jax.default_backend() == "cpu"),
+    )(jnp.asarray(pad_len, jnp.int32).reshape(b), q5, k, v)
+    return out.reshape(b, n_heads, s, d)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,

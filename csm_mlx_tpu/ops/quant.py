@@ -159,7 +159,13 @@ def _pallas_quant_matvec_w8a8(x, weight_q, scales, biases, *, bits,
     b, in_dim = x.shape
     out_dim = weight_q.shape[0]
     assert scales.shape[1] == 1, "w8a8 path needs per-channel scales"
-    tile_out = 512
+    # Each grid step costs ~8 us regardless of tile size (PERFORMANCE.md
+    # round-2 envelope), so blocks aim for ~4 MB of codes: wide fused
+    # matmuls (gate-up 16384 rows) run 8 grid steps instead of 32.
+    tile_out = 4096
+    while tile_out > 256 and (out_dim % tile_out != 0
+                              or tile_out * in_dim > (4 << 20)):
+        tile_out //= 2
     while out_dim % tile_out != 0:
         tile_out //= 2
 
@@ -225,6 +231,40 @@ def quantize_weight_w8(w: jax.Array, bits: int = 8) -> Dict[str, jax.Array]:
     q = jnp.clip(jnp.round((wf - z) / s), -lim, lim)
     q = q.astype(jnp.int8 if bits == 8 else jnp.int4)
     return {"weight_q": q, "scales": s, "biases": z}
+
+
+def quantize_audio_head(audio_head: jax.Array) -> Dict[str, jax.Array]:
+    """Quantize the (K-1, D, V) audio_head tensor for the W8A8 matvec path.
+
+    Stored transposed as (K-1, V_pad, D) per-output-channel int8 (the matvec
+    orientation), with V padded to a multiple of 128 so the Pallas kernel's
+    alignment requirement holds; `audio_head_logits` slices the pad off.
+    """
+    n_heads, d, v = audio_head.shape
+    v_pad = -(-v // 128) * 128
+    wt = jnp.swapaxes(jnp.asarray(audio_head, jnp.float32), 1, 2)  # (K-1,V,D)
+    wt = jnp.pad(wt, ((0, 0), (0, v_pad - v), (0, 0)))
+    return jax.jit(jax.vmap(functools.partial(quantize_weight_w8,
+                                              bits=8)))(wt)
+
+
+def audio_head_logits(head, i: int, hidden: jax.Array,
+                      n_vocab: int) -> jax.Array:
+    """logits for codebook i+1: hidden (B, Dd) x audio_head[i] -> (B, V).
+
+    `head` is either the raw (K-1, D, V) tensor (bf16 einsum, fp32 accum) or
+    the quantized dict from quantize_audio_head (Pallas W8A8 matvec over the
+    128-padded vocab; the pad is sliced off here — `n_vocab` is static).
+    """
+    if isinstance(head, dict):
+        y = quant_linear(
+            {"weight_q": head["weight_q"][i], "scales": head["scales"][i],
+             "biases": head["biases"][i]},
+            hidden,
+        ).astype(jnp.float32)
+        return y[:, :n_vocab]
+    return jnp.einsum("bd,dv->bv", hidden.astype(jnp.float32),
+                      head[i].astype(jnp.float32))
 
 
 def quant_linear(params: Dict[str, Any], x: jax.Array,
@@ -351,6 +391,10 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
 
     p = model.params
     for key in targets:
+        if key == "audio_head" and key in p and not isinstance(p[key], dict):
+            if mode in ("w8a8", "w4a8"):
+                p[key] = quantize_audio_head(p[key])
+            continue
         if key in p:
             p[key] = _quantize_tree(p[key], bits, group_size, predicate,
                                     path=key, mode=mode)

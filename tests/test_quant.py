@@ -173,3 +173,24 @@ def test_w8a8_pallas_kernel_interpret():
     # activation int8 quantization adds ~1% relative error
     denom = np.abs(want).max() + 1e-9
     assert np.abs(got - want).max() / denom < 0.02
+
+
+def test_quantized_audio_head_matches_einsum():
+    """quantize_audio_head + audio_head_logits vs the raw bf16 einsum path
+    (pad slicing, per-head scales)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from csm_mlx_tpu.ops.quant import audio_head_logits, quantize_audio_head
+
+    raw = jax.random.normal(jax.random.PRNGKey(9), (7, 32, 200))  # V=200: pads to 256
+    qh = quantize_audio_head(raw)
+    assert qh["weight_q"].shape == (7, 256, 32)
+    h = jax.random.normal(jax.random.PRNGKey(3), (2, 32))
+    for i in (0, 3, 6):
+        a = np.asarray(audio_head_logits(raw, i, h, 200))
+        b = np.asarray(audio_head_logits(qh, i, h, 200))
+        assert a.shape == b.shape == (2, 200)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.02, rel
