@@ -60,9 +60,11 @@ def quantize_weight(
     q = jnp.clip(jnp.round((wf - w_min[..., None]) / scale[..., None]),
                  0, n_levels).astype(jnp.uint8)
     q = q.reshape(out_dim, in_dim)
-    if bits == 4:
-        # Native sub-byte dtype: XLA stores uint4 packed (2/byte) in HBM and
-        # Mosaic unpacks in-register inside the Pallas kernel.
+    if bits == 4 and jax.default_backend() == "cpu":
+        # Native sub-byte dtype: XLA stores uint4 packed (2/byte) in HBM.
+        # The axon TPU runtime crashes on native int4 arrays (see
+        # PERFORMANCE.md envelope), so on TPU 4-bit codes stay in uint8
+        # carriers — same dequant math, byte-per-code footprint.
         q = q.astype(jnp.uint4)
     return {
         "weight_q": q,  # (out, in) uint8 / uint4 codes
@@ -283,11 +285,14 @@ def quant_linear(params: Dict[str, Any], x: jax.Array,
     xf = x.reshape(-1, in_dim)
     out_dim = params["scales"].shape[0]
     small_batch = xf.shape[0] <= 64
-    aligned = out_dim % 128 == 0 and in_dim % 128 == 0
-    if os.environ.get("CSM_TPU_QUANT_PALLAS", "1") == "0":
-        use_pallas = False
     is_w8a8 = params["weight_q"].dtype in (jnp.int8, jnp.int4)  # signed =>
     # per-channel W8A8 / W4A8 MXU path
+    # The affine VPU kernel needs lane-aligned groups; MLX-parity group 64
+    # takes the (correct, slower) XLA dequant fallback.
+    aligned = out_dim % 128 == 0 and in_dim % 128 == 0 and \
+        (is_w8a8 or group_size % 128 == 0)
+    if os.environ.get("CSM_TPU_QUANT_PALLAS", "1") == "0":
+        use_pallas = False
     if use_pallas and small_batch and aligned and jax.default_backend() != "cpu":
         if is_w8a8:
             y = _pallas_quant_matvec_w8a8(
