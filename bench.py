@@ -135,12 +135,10 @@ def main() -> None:
     if batch_b > 1:
         from csm_mlx_tpu.generation import generate_tokens_batch
 
-        class _M:  # generate_tokens_batch wants a model-like shell
-            pass
+        import types
 
-        _M.params = model.params
-        _M.dtype = dtype
-        _M.args = args
+        _M = types.SimpleNamespace(params=model.params, dtype=dtype,
+                                   args=args)
         prompts = [prompt] * batch_b
         masks = [mask] * batch_b
         generate_tokens_batch(_M, prompts, masks, max_frames,

@@ -175,6 +175,22 @@ class OnlineASRProcessor:
             self.prompt_text = (self.prompt_text + " " + text).strip()
         return text
 
+    def _drop_committed(self, hyp: List[AsrWord]) -> List[AsrWord]:
+        """Drop hypothesis words already committed (the untrimmed buffer
+        re-transcribes them). Midpoint-vs-frontier is robust to timestamp
+        jitter (a word only survives if more than half of it lies past the
+        last committed end); a leading word whose text equals the last
+        committed word and overlaps it is dropped too."""
+        if not self.committed:
+            return hyp
+        last_end = self.committed[-1][1]
+        hyp = [w for w in hyp if (w.start + w.end) / 2 > last_end]
+        last_norm = _norm(self.committed[-1][2])
+        while hyp and _norm(hyp[0].word) == last_norm \
+                and hyp[0].start < last_end:
+            hyp = hyp[1:]
+        return hyp
+
     def process_iter(self) -> str:
         """Return newly agreed-upon text ("" if none yet)."""
         if len(self.audio_buffer) < SAMPLING_RATE // 2:
@@ -183,17 +199,14 @@ class OnlineASRProcessor:
             return ""
         self._since_last_process = 0.0
 
-        hyp = self._hypothesis()
-        # Drop words already committed (the untrimmed buffer re-transcribes
-        # them); time-based with a small tolerance for ASR jitter.
-        if self.committed:
-            last_end = self.committed[-1][1]
-            hyp = [w for w in hyp if w.end > last_end + 0.01]
+        hyp = self._drop_committed(self._hypothesis())
         # LocalAgreement-2: commit the longest common prefix (by normalized
-        # word) of the previous and current hypotheses.
+        # word) of the previous and current hypotheses. Punctuation-only
+        # tokens (empty after normalization) auto-agree — they must not
+        # stall the prefix behind them.
         agreed: List[AsrWord] = []
         for prev, cur in zip(self._prev_hyp, hyp):
-            if _norm(prev.word) == _norm(cur.word) and _norm(cur.word):
+            if _norm(cur.word) == "" or _norm(prev.word) == _norm(cur.word):
                 agreed.append(cur)
             else:
                 break
@@ -225,11 +238,12 @@ class OnlineASRProcessor:
         """Flush: commit the current best hypothesis (stt:245-254)."""
         if len(self.audio_buffer) < SAMPLING_RATE // 10:
             return ""
-        hyp = self._hypothesis()
-        if self.committed:
-            last_end = self.committed[-1][1]
-            hyp = [w for w in hyp if w.end > last_end + 0.01]
+        hyp = self._drop_committed(self._hypothesis())
         text = self._commit(hyp)
+        # The consumed audio is gone: advance the absolute-time offset so
+        # the next utterance's words land *after* the committed frontier
+        # (otherwise _drop_committed would swallow its opening words).
+        self.buffer_time_offset += len(self.audio_buffer) / SAMPLING_RATE
         self.audio_buffer = np.zeros((0,), dtype=np.float32)
         self._prev_hyp = []
         self._since_last_process = 0.0

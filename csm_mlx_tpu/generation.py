@@ -414,11 +414,17 @@ def _place_inputs(mesh, tokens, mask, pad_len, key):
                 key)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # Shard rows over "data" only when they divide it; otherwise replicate
+    # the batch (tensor parallelism over "model" still applies) — a single
+    # prompt on a data>1 mesh must not fail device_put's divisibility check.
+    b = np.shape(tokens)[0]
+    data_size = dict(mesh.shape).get("data", 1)
+    row = "data" if data_size > 1 and b % data_size == 0 else None
     dp = lambda *spec: NamedSharding(mesh, P(*spec))  # noqa: E731
     return (
-        jax.device_put(jnp.asarray(tokens), dp("data", None, None)),
-        jax.device_put(jnp.asarray(mask), dp("data", None, None)),
-        jax.device_put(jnp.asarray(pad_len), dp("data")),
+        jax.device_put(jnp.asarray(tokens), dp(row, None, None)),
+        jax.device_put(jnp.asarray(mask), dp(row, None, None)),
+        jax.device_put(jnp.asarray(pad_len), dp(row)),
         jax.device_put(key, dp()),
     )
 

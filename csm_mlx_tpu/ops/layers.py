@@ -77,6 +77,12 @@ def linear(params: Params, x: jax.Array) -> jax.Array:
     (it renormalizes W + BA per row), so it goes through effective_weight.
     """
     if "weight_q" in params:
+        if "dora_m" in params:
+            raise ValueError(
+                "quantized DoRA leaves are unsupported: the per-row "
+                "renormalization needs the dense weight (fuse_lora before "
+                "quantizing)"
+            )
         from csm_mlx_tpu.ops.quant import quant_linear
 
         y = quant_linear(params, x)

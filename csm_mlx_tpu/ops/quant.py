@@ -231,7 +231,10 @@ def quantize_weight_w8(w: jax.Array, bits: int = 8) -> Dict[str, jax.Array]:
     lim = 127 if bits == 8 else 7
     s = jnp.maximum((w_max - w_min) / (2 * lim), 1e-12)
     q = jnp.clip(jnp.round((wf - z) / s), -lim, lim)
-    q = q.astype(jnp.int8 if bits == 8 else jnp.int4)
+    # Native int4 crashes the axon TPU runtime (PERFORMANCE.md envelope):
+    # 4-bit codes ride int8 carriers off-CPU (same kernel math).
+    use_int4 = bits == 4 and jax.default_backend() == "cpu"
+    q = q.astype(jnp.int4 if use_int4 else jnp.int8)
     return {"weight_q": q, "scales": s, "biases": z}
 
 
@@ -334,9 +337,19 @@ def _jitted_quantizer(mode: str, bits: int, group_size: int):
 def _quantize_tree(tree: Any, bits: int, group_size: int,
                    predicate, path: str = "", mode: str = "affine") -> Any:
     if isinstance(tree, dict):
+        # "codebook" guards RVQ codebooks, not the codebook0_head Linear.
+        blocked = any(t in path for t in _NO_QUANT) \
+            and "codebook0_head" not in path
+        if "dora_m" in tree:
+            import warnings
+
+            warnings.warn(
+                f"quantize_model: skipping DoRA-adapted '{path}' — the "
+                f"per-row renormalization needs the dense weight."
+            )
+            return tree
         if "weight" in tree and hasattr(tree["weight"], "ndim") and \
-                tree["weight"].ndim == 2 and \
-                not any(t in path for t in _NO_QUANT):
+                tree["weight"].ndim == 2 and not blocked:
             w = tree["weight"]
             # w8a8/w4a8 are per-channel: no input-group alignment needed.
             align = 1 if mode in ("w8a8", "w4a8") else group_size

@@ -194,3 +194,37 @@ def test_quantized_audio_head_matches_einsum():
         assert a.shape == b.shape == (2, 200)
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
         assert rel < 0.02, rel
+
+
+def test_codebook0_head_actually_quantized():
+    """Regression: the _NO_QUANT 'codebook' guard must not swallow the
+    codebook0_head Linear (it did when path started carrying the target
+    key)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import tiny_args
+    from csm_mlx_tpu.models.csm import CSM
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(0))
+    quantize_model(model, mode="w8a8", min_size=1,
+                   targets=("codebook0_head",))
+    assert "weight_q" in model.params["codebook0_head"], \
+        sorted(model.params["codebook0_head"].keys())
+
+
+def test_w4a8_codes_safe_dtype_off_cpu():
+    """quantize_weight_w8(bits=4) must not emit native int4 on backends
+    where the runtime crashes on it (int8 carrier everywhere but CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_mlx_tpu.ops.quant import quantize_weight_w8
+
+    w = jnp.ones((128, 128), jnp.float32)
+    qp = quantize_weight_w8(w, bits=4)
+    if jax.default_backend() == "cpu":
+        assert qp["weight_q"].dtype == jnp.int4
+    else:
+        assert qp["weight_q"].dtype == jnp.int8

@@ -96,6 +96,24 @@ def test_tp_generation_matches_single_device():
     np.testing.assert_array_equal(got, want)
 
 
+def test_single_prompt_generation_on_data_mesh():
+    """B=1 generate_tokens on a data>1 mesh must replicate the batch dim
+    rather than fail device_put's divisibility check."""
+    from csm_mlx_tpu.generation import generate_tokens
+    from csm_mlx_tpu.parallel import shard_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(5))
+    rng = np.random.RandomState(0)
+    k = model.args.n_audio_codebooks + 1
+    prompt = rng.randint(0, 60, (10, k)).astype(np.int32)
+    mask = np.ones_like(prompt)
+    mesh = create_mesh({"data": 2, "model": 4})
+    shard_model(model, mesh)
+    frames, n = generate_tokens(model, prompt, mask, 3, temperature=0.0,
+                                mesh=mesh)
+    assert frames.shape == (3, model.args.n_audio_codebooks) and n == 3
+
+
 def test_data_parallel_train_step():
     """One DP train step on a 8-way data mesh runs and updates params."""
     from csm_mlx_tpu.finetune.trainer import CSMTrainer, TrainArgs

@@ -106,6 +106,46 @@ def test_online_asr_never_commits_revised_words():
     assert "wold" not in all_text
 
 
+def test_online_asr_second_utterance_after_finish():
+    """finish() must advance the time frontier so the next utterance's
+    opening words are not swallowed by the committed-word filter."""
+    proc = OnlineASRProcessor(FakeASR())
+    proc.insert_audio_chunk(np.zeros(16000 * 4, dtype=np.float32))
+    proc.process_iter()
+    proc.process_iter()           # commits word0..word3
+    proc.finish()
+    # new utterance
+    proc.insert_audio_chunk(np.zeros(16000 * 3, dtype=np.float32))
+    assert proc.process_iter() == ""   # agreement priming
+    text = proc.process_iter()
+    assert "word0" in text, f"opening words lost: {text!r}"
+
+
+def test_online_asr_jitter_does_not_recommit():
+    """Small timestamp jitter on already-committed words must not re-commit
+    them (midpoint-vs-frontier dedup)."""
+    h1 = [(0.0, 1.0, "hello"), (1.0, 2.0, "world")]
+    h2 = [(0.0, 1.05, "hello"), (1.05, 2.05, "world")]   # 50 ms drift
+    h3 = [(0.0, 1.05, "hello"), (1.05, 2.05, "world"), (2.05, 3.0, "again")]
+    proc = OnlineASRProcessor(ScriptedHypASR([h1, h1, h2, h3, h3]))
+    proc.insert_audio_chunk(np.zeros(16000 * 3, dtype=np.float32))
+    texts = [proc.process_iter() for _ in range(5)]
+    committed = [w for _, _, w in proc.committed]
+    assert committed.count("world") == 1, committed
+    assert committed.count("hello") == 1, committed
+    assert "again" in committed
+
+
+def test_online_asr_punctuation_token_does_not_stall():
+    """A punctuation-only token must not block agreement behind it."""
+    h = [(0.0, 0.4, "hello"), (0.4, 0.5, "..."), (0.5, 0.9, "world")]
+    proc = OnlineASRProcessor(ScriptedHypASR([h, h]))
+    proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
+    proc.process_iter()
+    text = proc.process_iter()
+    assert "world" in text, text
+
+
 def test_online_asr_min_chunk_gating():
     proc = OnlineASRProcessor(FakeASR(), min_chunk_seconds=1.0)
     proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
