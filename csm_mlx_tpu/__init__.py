@@ -26,6 +26,7 @@ from csm_mlx_tpu.generation import (
 from csm_mlx_tpu.ops.quant import quantize_model as quantize
 from csm_mlx_tpu.ops.sampling import make_logits_processors, make_sampler
 from csm_mlx_tpu.segment import Segment
+from csm_mlx_tpu.watermark import detect_watermark, embed_watermark
 
 __all__ = [
     "CSM",
@@ -39,6 +40,8 @@ __all__ = [
     "Segment",
     "make_sampler",
     "make_logits_processors",
+    "embed_watermark",
+    "detect_watermark",
     "LlamaConfig",
     "BACKBONE_CONFIGURATION",
     "DECODER_CONFIGURATION",

@@ -81,6 +81,9 @@ def add_parser(subparsers) -> None:
     p.add_argument("--input-texts", "-it", nargs="*", default=[],
                    help="Transcripts for context segments")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--watermark-key", type=int, default=None,
+                   help="Embed a keyed spread-spectrum watermark in the "
+                        "output (verify with csm_mlx_tpu.detect_watermark)")
     p.set_defaults(func=run)
 
 
@@ -125,6 +128,7 @@ def run(args: argparse.Namespace) -> None:
     print("Inferencing...")
     key = jax.random.PRNGKey(args.seed) if args.seed is not None else None
     result = generate(csm, args.text, args.speaker, context,
-                      args.max_audio_length, sampler=sampler, key=key)
+                      args.max_audio_length, sampler=sampler, key=key,
+                      watermark_key=args.watermark_key)
     write_audio(result, args.output, sampling_rate)
     print(f"Success! Audio saved to: {args.output}")

@@ -602,6 +602,7 @@ def generate_batch(
     speakers: Sequence[int],
     contexts: Optional[Sequence[Sequence]] = None,
     max_audio_length_ms: float = 90_000,
+    watermark_key: Optional[int] = None,
     **kwargs,
 ) -> List[jax.Array]:
     """Batched TTS: one waveform per (text, speaker[, context]) row."""
@@ -623,7 +624,12 @@ def generate_batch(
     codes = jnp.asarray(frames[:f_max].transpose(1, 2, 0), dtype=jnp.int32)
     audio = decode_audio(codes, n_audio_codebooks=model.n_audio_codebooks)
     frame_size = audio.shape[-1] // f_max
-    return [audio[i, 0, : int(n[i]) * frame_size] for i in range(len(texts))]
+    rows = [audio[i, 0, : int(n[i]) * frame_size] for i in range(len(texts))]
+    if watermark_key is not None:
+        from csm_mlx_tpu.watermark import embed_watermark
+
+        rows = [embed_watermark(r, watermark_key) for r in rows]
+    return rows
 
 
 def generate(
@@ -638,8 +644,13 @@ def generate(
     logits_processors: Optional[Sequence] = None,
     key: Optional[jax.Array] = None,
     mesh: Optional[Any] = None,
+    watermark_key: Optional[int] = None,
 ) -> jax.Array:
-    """Text (+ conversational context) -> 24 kHz waveform (generation.py:95-178)."""
+    """Text (+ conversational context) -> 24 kHz waveform (generation.py:95-178).
+
+    `watermark_key` embeds a keyed spread-spectrum watermark in the output
+    (the reference's TODO at generation.py:176; see `csm_mlx_tpu.watermark`).
+    """
     from csm_mlx_tpu.tokenizers import decode_audio
 
     max_frames = int(max_audio_length_ms / FRAME_MS)
@@ -655,7 +666,12 @@ def generate(
     # (F, 32) -> (1, K, F) for Mimi decode.
     codes = jnp.asarray(frames.T[None], dtype=jnp.int32)
     audio = decode_audio(codes, n_audio_codebooks=model.n_audio_codebooks)
-    return audio[0, 0]
+    audio = audio[0, 0]
+    if watermark_key is not None:
+        from csm_mlx_tpu.watermark import embed_watermark
+
+        audio = embed_watermark(audio, watermark_key)
+    return audio
 
 
 def stream_generate(
