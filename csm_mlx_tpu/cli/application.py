@@ -2,6 +2,7 @@
 
 Usage:
   csm-tpu generate TEXT -o out.wav [...]
+  csm-tpu serve --port 8080 [...]
   csm-tpu finetune full {sft,dpo,kto} [...]
   csm-tpu finetune lora {sft,dpo,kto} [...]
   csm-tpu finetune convert INPUT_DIR OUTPUT_JSON
@@ -22,8 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
 
     from csm_mlx_tpu.cli import generate as generate_cli
+    from csm_mlx_tpu.cli import serve as serve_cli
 
     generate_cli.add_parser(sub)
+    serve_cli.add_parser(sub)
 
     ft = sub.add_parser("finetune", help="Finetune CSM models.")
     ft_sub = ft.add_subparsers(dest="finetune_command", required=True)

@@ -1,0 +1,75 @@
+"""`csm-tpu serve` — run the dynamic-batching TTS HTTP server.
+
+No reference counterpart (the reference is a single-user library); this is
+the TPU serving layer over `csm_mlx_tpu.serve.TTSServer`. Model/weight/
+adapter resolution mirrors `csm-tpu generate`.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_parser(subparsers) -> None:
+    p = subparsers.add_parser(
+        "serve", help="Serve batched TTS over HTTP (POST /tts).")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--model", default="1b")
+    p.add_argument("--weight", "-w", default="senstella/csm-1b-mlx",
+                   help="HF repo or local weight path")
+    p.add_argument("--adapter", "-a", default=None,
+                   help="LoRA adapter dir (adapter_config.json + adapters.safetensors)")
+    p.add_argument("--quantize", action="store_true",
+                   help="Quantize to the W8A8 fast path before serving")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="Coalesce up to this many concurrent requests")
+    p.add_argument("--max-wait-ms", type=float, default=30.0,
+                   help="How long to hold the first request for batchmates")
+    p.add_argument("--max-audio-length", "-l", type=int, default=30_000,
+                   help="Max generated audio per request (ms)")
+    p.add_argument("--temperature", "--temp", "-t", type=float, default=0.8)
+    p.add_argument("--watermark-key", type=int, default=None,
+                   help="Watermark every generated waveform with this key")
+    p.set_defaults(func=run)
+
+
+def run(args: argparse.Namespace) -> None:
+    import asyncio
+
+    from csm_mlx_tpu import CSM, quantize
+    from csm_mlx_tpu.cli.config import MODEL
+    from csm_mlx_tpu.cli.generate import (
+        parse_adapter_argument,
+        parse_weight_argument,
+    )
+    from csm_mlx_tpu.finetune.lora import load_adapters
+    from csm_mlx_tpu.serve import TTSServer, serve_http
+
+    model_config = MODEL[args.model]
+    weight = parse_weight_argument(args.weight)
+    adapter = parse_adapter_argument(args.adapter)
+
+    print("Loading model...")
+    csm = CSM(model_config["config"])
+    csm.load_weights(weight)
+    if adapter is not None:
+        load_adapters(csm, adapter)
+    if args.quantize:
+        quantize(csm, mode="w8a8")
+
+    server = TTSServer(
+        csm, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        max_audio_length_ms=args.max_audio_length,
+        temperature=args.temperature, watermark_key=args.watermark_key,
+    )
+
+    async def main():
+        http = await serve_http(server, host=args.host, port=args.port)
+        port = http.sockets[0].getsockname()[1]
+        print(f"Serving TTS on http://{args.host}:{port} "
+              f"(POST /tts, GET /healthz, GET /stats)")
+        async with http:
+            await http.serve_forever()
+
+    asyncio.run(main())

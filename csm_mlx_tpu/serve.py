@@ -1,0 +1,256 @@
+"""Dynamic-batching TTS server — the TPU-native serving layer.
+
+The reference is a single-user library (one `generate()` at a time on a
+Mac); it has no serving story. On TPU the economics invert: batch-8
+generation delivers ~6.6x the aggregate throughput of a single stream on
+one v5e chip (72x vs 11x real-time, PERFORMANCE.md), because all rows share
+every weight read. This module turns that into a service: concurrent
+requests are coalesced into one compiled batched generation
+(`generate_batch`, one fused XLA program per (bucket, batch) shape), so a
+chip serves many callers at a fraction of the per-request cost.
+
+Design:
+- `TTSServer` owns an asyncio queue and a single batcher task. The batcher
+  takes the first waiting request, keeps admitting until `max_batch` or
+  `max_wait_ms` elapses, then runs ONE `generate_batch` in a worker thread
+  (the jitted program releases the GIL on device execution) and resolves
+  each caller's future.
+- Sampling parameters are server-level (the sampler is baked into the
+  compiled program); text / speaker / context vary per request. Prompt
+  lengths may differ — rows left-pad into the same bucket, and each row
+  stops at its own EOS (generation.py here, not the reference's B=1 loop).
+- `serve_http` is a dependency-free HTTP/1.1 front-end over asyncio
+  streams: POST /tts {"text": ..., "speaker": 0} -> audio/wav, GET /healthz.
+
+No counterpart exists in the reference (cited scope:
+/root/reference/run_streaming_csm_mlx.py is a local mic demo, and
+/root/reference/csm_mlx/generation.py:95-178 is batch-1).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import io
+import json
+import struct
+import time
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from csm_mlx_tpu.segment import SAMPLING_RATE
+
+
+@dataclass
+class _Pending:
+    text: str
+    speaker: int
+    context: Sequence
+    future: asyncio.Future
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    batch_sizes: List[int] = field(default_factory=list)
+    generate_seconds: float = 0.0
+    audio_seconds: float = 0.0
+
+    @property
+    def aggregate_rtf(self) -> float:
+        return self.audio_seconds / self.generate_seconds if self.generate_seconds else 0.0
+
+
+class TTSServer:
+    """Coalesces concurrent TTS requests into batched TPU generation."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        max_batch: int = 8,
+        max_wait_ms: float = 30.0,
+        max_audio_length_ms: float = 30_000,
+        temperature: float = 0.8,
+        sampler: Optional[Any] = None,
+        watermark_key: Optional[int] = None,
+        mesh: Optional[Any] = None,
+    ):
+        self.model = model
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.max_audio_length_ms = max_audio_length_ms
+        self.temperature = temperature
+        self.sampler = sampler
+        self.watermark_key = watermark_key
+        self.mesh = mesh
+        self.stats = ServerStats()
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.create_task(self._batcher())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def synthesize(self, text: str, speaker: int = 0,
+                         context: Sequence = ()) -> np.ndarray:
+        """Enqueue one utterance; resolves to a float32 24 kHz waveform."""
+        if self._task is None:
+            await self.start()
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put(_Pending(text, speaker, tuple(context), fut))
+        return await fut
+
+    async def _batcher(self) -> None:
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1000.0
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self._queue.get(),
+                                                        timeout=remaining))
+                except asyncio.TimeoutError:
+                    break
+            await self._run_batch(batch)
+
+    async def _run_batch(self, batch: List[_Pending]) -> None:
+        from csm_mlx_tpu.generation import generate_batch
+
+        texts = [p.text for p in batch]
+        speakers = [p.speaker for p in batch]
+        contexts = [p.context for p in batch]
+
+        def run() -> Tuple[List[np.ndarray], float]:
+            t0 = time.monotonic()
+            rows = generate_batch(
+                self.model, texts, speakers, contexts,
+                max_audio_length_ms=self.max_audio_length_ms,
+                temperature=self.temperature, sampler=self.sampler,
+                watermark_key=self.watermark_key, mesh=self.mesh,
+            )
+            rows = [np.asarray(r, dtype=np.float32) for r in rows]
+            return rows, time.monotonic() - t0
+
+        try:
+            rows, wall = await asyncio.get_running_loop().run_in_executor(None, run)
+        except Exception as exc:  # resolve every caller, never deadlock
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(exc)
+            return
+        self.stats.requests += len(batch)
+        self.stats.batches += 1
+        self.stats.batch_sizes.append(len(batch))
+        self.stats.generate_seconds += wall
+        self.stats.audio_seconds += sum(r.shape[-1] for r in rows) / SAMPLING_RATE
+        for p, row in zip(batch, rows):
+            if not p.future.done():
+                p.future.set_result(row)
+
+
+def wav_bytes(audio: np.ndarray, sample_rate: int = SAMPLING_RATE) -> bytes:
+    """16-bit PCM RIFF/WAVE encoding of a float waveform (in-memory)."""
+    pcm = (np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+           * 32767.0).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    buf.write(b"RIFF")
+    buf.write(struct.pack("<I", 36 + len(pcm)))
+    buf.write(b"WAVEfmt ")
+    buf.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16))
+    buf.write(b"data")
+    buf.write(struct.pack("<I", len(pcm)))
+    buf.write(pcm)
+    return buf.getvalue()
+
+
+async def _read_http_request(reader: asyncio.StreamReader):
+    request_line = await reader.readline()
+    if not request_line:
+        return None, None, b""
+    try:
+        method, path, _ = request_line.decode("latin-1").split(" ", 2)
+    except ValueError:
+        return None, None, b""
+    content_length = 0
+    while True:
+        line = await reader.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        name, _, value = line.decode("latin-1").partition(":")
+        if name.strip().lower() == "content-length":
+            content_length = int(value.strip())
+    body = await reader.readexactly(content_length) if content_length else b""
+    return method, path, body
+
+
+def _http_response(status: str, content_type: str, body: bytes) -> bytes:
+    head = (f"HTTP/1.1 {status}\r\nContent-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n")
+    return head.encode("latin-1") + body
+
+
+async def serve_http(server: TTSServer, host: str = "127.0.0.1",
+                     port: int = 8080):
+    """Start the HTTP front-end; returns the asyncio.Server (ephemeral port
+    readable from `.sockets[0].getsockname()`)."""
+
+    async def handle(reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            method, path, body = await _read_http_request(reader)
+            if method is None:
+                return
+            if method == "GET" and path == "/healthz":
+                writer.write(_http_response("200 OK", "text/plain", b"ok"))
+            elif method == "GET" and path == "/stats":
+                s = server.stats
+                payload = json.dumps({
+                    "requests": s.requests, "batches": s.batches,
+                    "batch_sizes": s.batch_sizes,
+                    "aggregate_rtf": s.aggregate_rtf,
+                }).encode()
+                writer.write(_http_response("200 OK", "application/json", payload))
+            elif method == "POST" and path == "/tts":
+                try:
+                    req = json.loads(body or b"{}")
+                    text = req["text"]
+                except (ValueError, KeyError):
+                    writer.write(_http_response(
+                        "400 Bad Request", "application/json",
+                        b'{"error": "body must be JSON with a \\"text\\" field"}'))
+                else:
+                    audio = await server.synthesize(text, int(req.get("speaker", 0)))
+                    writer.write(_http_response("200 OK", "audio/wav",
+                                                wav_bytes(audio)))
+            else:
+                writer.write(_http_response("404 Not Found", "text/plain",
+                                            b"not found"))
+            await writer.drain()
+        except Exception as exc:
+            try:
+                writer.write(_http_response(
+                    "500 Internal Server Error", "application/json",
+                    json.dumps({"error": str(exc)}).encode()))
+                await writer.drain()
+            except Exception:
+                pass
+        finally:
+            writer.close()
+
+    await server.start()
+    return await asyncio.start_server(handle, host, port)

@@ -36,6 +36,14 @@ def test_parser_structure():
     assert args.lora_rank == 4
     assert args.target_modules == ["attn", "projection"]
 
+    args = parser.parse_args([
+        "serve", "--port", "9000", "--max-batch", "4", "--quantize",
+        "--watermark-key", "7",
+    ])
+    assert args.command == "serve"
+    assert args.port == 9000 and args.max_batch == 4
+    assert args.quantize and args.watermark_key == 7
+
 
 def test_convert_command(tmp_path):
     conv = tmp_path / "conv1"

@@ -1,0 +1,150 @@
+"""Dynamic-batching TTS server: coalescing, HTTP front-end, error paths.
+
+Runs fully offline: tiny random model, fake text tokenizer, random-weight
+Mimi (same pattern as test_integration.py)."""
+
+import asyncio
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import csm_mlx_tpu.tokenizers as tok_mod
+from conftest import tiny_args
+from csm_mlx_tpu.models.csm import CSM
+from csm_mlx_tpu.serve import TTSServer, serve_http, wav_bytes
+
+
+class FakeTextTokenizer:
+    bos_token = "<b>"
+    eos_token = "<e>"
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def encode(self, text: str):
+        return [1] + [3 + (ord(c) % 50) for c in text[:10]] + [2]
+
+
+@pytest.fixture()
+def offline_tokenizers(monkeypatch):
+    monkeypatch.setattr(tok_mod, "get_text_tokenizer",
+                        lambda path=None: FakeTextTokenizer())
+    tok_mod.get_audio_tokenizer.cache_clear()
+    yield
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
+@pytest.fixture(scope="module")
+def model():
+    return CSM(tiny_args(n_codebooks=8), dtype=jnp.float32,
+               rng=jax.random.PRNGKey(0))
+
+
+def test_concurrent_requests_batch_together(offline_tokenizers, model):
+    async def main():
+        server = TTSServer(model, max_batch=4, max_wait_ms=200,
+                           max_audio_length_ms=400, temperature=0.0)
+        rows = await asyncio.gather(*[
+            server.synthesize(f"hello {i}", speaker=i % 2) for i in range(4)
+        ])
+        await server.stop()
+        return server, rows
+
+    server, rows = asyncio.run(main())
+    assert len(rows) == 4
+    for r in rows:
+        assert isinstance(r, np.ndarray) and r.ndim == 1 and r.size > 0
+    assert server.stats.requests == 4
+    # All four arrived inside the wait window -> fewer batches than requests.
+    assert server.stats.batches < 4
+    assert max(server.stats.batch_sizes) >= 2
+    assert server.stats.aggregate_rtf > 0
+
+
+def test_same_text_is_deterministic_at_temp0(offline_tokenizers, model):
+    async def main():
+        server = TTSServer(model, max_batch=2, max_wait_ms=100,
+                           max_audio_length_ms=400, temperature=0.0)
+        a, b = await asyncio.gather(server.synthesize("same"),
+                                    server.synthesize("same"))
+        await server.stop()
+        return a, b
+
+    a, b = asyncio.run(main())
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_generation_error_propagates_to_caller(model):
+    # No tokenizer fake installed and no HF access -> generate_batch raises;
+    # the future must carry the exception instead of hanging.
+    async def main():
+        server = TTSServer(model, max_wait_ms=10, max_audio_length_ms=400)
+        try:
+            with pytest.raises(Exception):
+                await asyncio.wait_for(server.synthesize("boom"), timeout=30)
+        finally:
+            await server.stop()
+
+    asyncio.run(main())
+
+
+def test_http_front_end(offline_tokenizers, model):
+    async def main():
+        server = TTSServer(model, max_batch=4, max_wait_ms=100,
+                           max_audio_length_ms=400, temperature=0.0)
+        http = await serve_http(server, host="127.0.0.1", port=0)
+        port = http.sockets[0].getsockname()[1]
+
+        async def post(path, payload):
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            body = json.dumps(payload).encode()
+            writer.write(
+                f"POST {path} HTTP/1.1\r\nHost: x\r\nContent-Length: "
+                f"{len(body)}\r\n\r\n".encode() + body)
+            await writer.drain()
+            data = await reader.read()
+            writer.close()
+            return data
+
+        async def get(path):
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+            await writer.drain()
+            data = await reader.read()
+            writer.close()
+            return data
+
+        health = await get("/healthz")
+        wavs = await asyncio.gather(post("/tts", {"text": "a"}),
+                                    post("/tts", {"text": "b", "speaker": 1}))
+        bad = await post("/tts", {"nope": 1})
+        missing = await get("/nope")
+        stats_raw = await get("/stats")
+        http.close()
+        await http.wait_closed()
+        await server.stop()
+        return health, wavs, bad, missing, stats_raw, server
+
+    health, wavs, bad, missing, stats_raw, server = asyncio.run(main())
+    assert health.startswith(b"HTTP/1.1 200") and health.endswith(b"ok")
+    for w in wavs:
+        assert w.startswith(b"HTTP/1.1 200")
+        assert b"audio/wav" in w
+        body = w.split(b"\r\n\r\n", 1)[1]
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert bad.startswith(b"HTTP/1.1 400")
+    assert missing.startswith(b"HTTP/1.1 404")
+    stats = json.loads(stats_raw.split(b"\r\n\r\n", 1)[1])
+    assert stats["requests"] == 2
+
+
+def test_wav_bytes_layout():
+    audio = np.sin(np.linspace(0, 10, 2400)).astype(np.float32)
+    data = wav_bytes(audio, 24000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert len(data) == 44 + 2 * audio.size
+    import struct
+
+    assert struct.unpack("<I", data[24:28])[0] == 24000
