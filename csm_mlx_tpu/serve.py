@@ -21,6 +21,12 @@ Design:
   stops at its own EOS (generation.py here, not the reference's B=1 loop).
 - `serve_http` is a dependency-free HTTP/1.1 front-end over asyncio
   streams: POST /tts {"text": ..., "speaker": 0} -> audio/wav, GET /healthz.
+- `POST /tts-stream` serves the latency path instead of the throughput
+  path: `stream_generate` chunks (80 ms each) leave as raw PCM over
+  chunked transfer encoding as soon as each frame is decoded (p50 first
+  chunk ≈ 60–100 ms on a v5e, PERFORMANCE.md). Streaming requests share
+  the chip with the batcher under a device lock — streams preempt by
+  arriving first; batches are not split.
 
 No counterpart exists in the reference (cited scope:
 /root/reference/run_streaming_csm_mlx.py is a local mic demo, and
@@ -89,6 +95,9 @@ class TTSServer:
         self.stats = ServerStats()
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        # One device program at a time: batches and streams interleave at
+        # request granularity instead of contending for the chip.
+        self._device_lock = asyncio.Lock()
 
     async def start(self) -> None:
         if self._task is None:
@@ -111,6 +120,52 @@ class TTSServer:
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self._queue.put(_Pending(text, speaker, tuple(context), fut))
         return await fut
+
+    async def synthesize_stream(self, text: str, speaker: int = 0,
+                                context: Sequence = ()):
+        """Async iterator of 1,920-sample float32 chunks (80 ms each) from
+        `stream_generate` — the latency path (first chunk in ~1.5 frame
+        times) as opposed to `synthesize`'s throughput path. Watermarking
+        is not applied here (the mark needs whole-utterance STFT framing);
+        callers who need it can embed on the concatenated result.
+        """
+        from csm_mlx_tpu.generation import stream_generate
+
+        loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
+        done = object()
+
+        def run() -> float:
+            t0 = time.monotonic()
+            try:
+                for chunk in stream_generate(
+                        self.model, text, speaker, context,
+                        max_audio_length_ms=self.max_audio_length_ms,
+                        temperature=self.temperature, sampler=self.sampler):
+                    loop.call_soon_threadsafe(
+                        q.put_nowait, np.asarray(chunk, dtype=np.float32))
+            except Exception as exc:
+                loop.call_soon_threadsafe(q.put_nowait, exc)
+            else:
+                loop.call_soon_threadsafe(q.put_nowait, done)
+            return time.monotonic() - t0
+
+        async with self._device_lock:
+            fut = loop.run_in_executor(None, run)
+            n_samples = 0
+            while True:
+                item = await q.get()
+                if item is done:
+                    break
+                if isinstance(item, Exception):
+                    await fut
+                    raise item
+                n_samples += item.shape[-1]
+                yield item
+            wall = await fut
+            self.stats.requests += 1
+            self.stats.generate_seconds += wall
+            self.stats.audio_seconds += n_samples / SAMPLING_RATE
 
     async def _batcher(self) -> None:
         while True:
@@ -147,7 +202,9 @@ class TTSServer:
             return rows, time.monotonic() - t0
 
         try:
-            rows, wall = await asyncio.get_running_loop().run_in_executor(None, run)
+            async with self._device_lock:
+                rows, wall = await asyncio.get_running_loop().run_in_executor(
+                    None, run)
         except Exception as exc:  # resolve every caller, never deadlock
             for p in batch:
                 if not p.future.done():
@@ -225,6 +282,30 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                     "aggregate_rtf": s.aggregate_rtf,
                 }).encode()
                 writer.write(_http_response("200 OK", "application/json", payload))
+            elif method == "POST" and path == "/tts-stream":
+                try:
+                    req = json.loads(body or b"{}")
+                    text = req["text"]
+                except (ValueError, KeyError):
+                    writer.write(_http_response(
+                        "400 Bad Request", "application/json",
+                        b'{"error": "body must be JSON with a \\"text\\" field"}'))
+                else:
+                    # Raw 24 kHz s16le PCM over chunked transfer encoding:
+                    # one HTTP chunk per 80 ms generation chunk.
+                    writer.write(
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: audio/L16; rate=24000\r\n"
+                        b"Transfer-Encoding: chunked\r\n"
+                        b"Connection: close\r\n\r\n")
+                    async for chunk in server.synthesize_stream(
+                            text, int(req.get("speaker", 0))):
+                        pcm = (np.clip(chunk, -1.0, 1.0)
+                               * 32767.0).astype("<i2").tobytes()
+                        writer.write(f"{len(pcm):x}\r\n".encode())
+                        writer.write(pcm + b"\r\n")
+                        await writer.drain()
+                    writer.write(b"0\r\n\r\n")
             elif method == "POST" and path == "/tts":
                 try:
                     req = json.loads(body or b"{}")

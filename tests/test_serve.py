@@ -140,6 +140,67 @@ def test_http_front_end(offline_tokenizers, model):
     assert stats["requests"] == 2
 
 
+def test_stream_and_batch_share_device_without_deadlock(offline_tokenizers, model):
+    async def main():
+        server = TTSServer(model, max_batch=2, max_wait_ms=50,
+                           max_audio_length_ms=400, temperature=0.0)
+
+        async def collect_stream():
+            chunks = []
+            async for c in server.synthesize_stream("stream me"):
+                chunks.append(c)
+            return chunks
+
+        chunks, row = await asyncio.gather(collect_stream(),
+                                           server.synthesize("batch me"))
+        await server.stop()
+        return server, chunks, row
+
+    server, chunks, row = asyncio.run(main())
+    assert len(chunks) >= 2
+    for c in chunks:
+        assert c.dtype == np.float32 and c.shape == (1920,)
+    assert row.size > 0
+    assert server.stats.requests == 2  # one streamed + one batched
+
+
+def test_http_stream_endpoint(offline_tokenizers, model):
+    async def main():
+        server = TTSServer(model, max_wait_ms=10, max_audio_length_ms=400,
+                           temperature=0.0)
+        http = await serve_http(server, host="127.0.0.1", port=0)
+        port = http.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"text": "chunked"}).encode()
+        writer.write(
+            f"POST /tts-stream HTTP/1.1\r\nHost: x\r\nContent-Length: "
+            f"{len(body)}\r\n\r\n".encode() + body)
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        http.close()
+        await http.wait_closed()
+        await server.stop()
+        return raw
+
+    raw = asyncio.run(main())
+    head, _, payload = raw.partition(b"\r\n\r\n")
+    assert head.startswith(b"HTTP/1.1 200")
+    assert b"Transfer-Encoding: chunked" in head
+    assert b"audio/L16" in head
+    # Decode chunked transfer encoding; every chunk is one 80 ms frame.
+    sizes = []
+    while payload:
+        size_hex, _, payload = payload.partition(b"\r\n")
+        size = int(size_hex, 16)
+        if size == 0:
+            break
+        sizes.append(size)
+        payload = payload[size + 2:]  # chunk data + trailing CRLF
+    assert len(sizes) >= 2
+    assert all(s == 1920 * 2 for s in sizes)  # s16le, 1920 samples
+
+
 def test_wav_bytes_layout():
     audio = np.sin(np.linspace(0, 10, 2400)).astype(np.float32)
     data = wav_bytes(audio, 24000)
