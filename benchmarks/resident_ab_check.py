@@ -1,0 +1,87 @@
+"""A/B check on TPU: resident-kernel generation vs dispatched-path tokens.
+
+Greedy decode over the same quantized weights: both paths run the same
+int8 dots with per-row dynamic activation quantization, so the sampled
+token streams should agree step-for-step (tiny fp differences can flip an
+argmax only on near-exact logit ties, which random weights make
+measure-zero). Prints per-frame agreement and the first mismatch if any.
+
+Run: python benchmarks/resident_ab_check.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(flag: str, model, tokens, msk, pad_len, seconds=4.0):
+    import jax
+    import jax.numpy as jnp
+
+    from csm_mlx_tpu import generation
+    from csm_mlx_tpu.ops.sampling import SamplerConfig
+
+    os.environ["CSM_TPU_RESIDENT_DECODER"] = flag
+    generation._build_generate_tokens.cache_clear()
+    gen_fn = generation._build_generate_tokens(
+        model.args, SamplerConfig(temperature=0.0), (),
+        tokens.shape[1], int(seconds * 12.5), "bfloat16")
+    t0 = time.perf_counter()
+    frames, n = gen_fn(model.params, jnp.asarray(tokens[None]),
+                       jnp.asarray(msk[None]),
+                       jnp.asarray([pad_len], jnp.int32),
+                       jax.random.PRNGKey(1))
+    frames = np.asarray(jax.device_get(frames))
+    n = int(np.asarray(n)[0])
+    dt = time.perf_counter() - t0
+    return frames[:n, 0], n, dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    from csm_mlx_tpu.models.csm import CSM, csm_1b
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    quantize_model(model, mode="w8a8")
+
+    rng = np.random.RandomState(0)
+    s = 32
+    prompt = np.zeros((s, 33), dtype=np.int32)
+    prompt[:, -1] = rng.randint(0, model.args.n_text_vocab, size=s)
+    mask = np.zeros((s, 33), dtype=np.int32)
+    mask[:, -1] = 1
+
+    fr_res, n_res, t_res = run("1", model, prompt, mask, 0)
+    fr_dis, n_dis, t_dis = run("0", model, prompt, mask, 0)
+
+    print(f"resident: {n_res} frames in {t_res:.2f}s | "
+          f"dispatched: {n_dis} frames in {t_dis:.2f}s")
+    n = min(n_res, n_dis)
+    agree = (fr_res[:n] == fr_dis[:n])
+    per_frame = agree.all(axis=1)
+    total = float(agree.mean())
+    print(f"token agreement: {total:.4%}; frames fully equal: "
+          f"{int(per_frame.sum())}/{n}")
+    if not per_frame.all():
+        f = int(np.argmin(per_frame))
+        bad = np.nonzero(~agree[f])[0]
+        print(f"first mismatch frame {f}, codebooks {bad[:8]}: "
+              f"res={fr_res[f, bad[:8]]} dis={fr_dis[f, bad[:8]]}")
+    assert n_res == n_dis, (n_res, n_dis)
+    assert total > 0.999, total
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

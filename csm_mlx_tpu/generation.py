@@ -128,6 +128,25 @@ def _backbone_step(
     return hidden[:, -1, :], cache
 
 
+def _use_resident_decoder(params, sampler, b: int) -> bool:
+    """Trace-time gate for the VMEM-resident frame kernel: prepared tables
+    present, single-stream, simple sampler, not disabled, and a backend
+    whose Pallas supports the kernel (TPU; CPU only via interpret mode in
+    tests, which set CSM_TPU_RESIDENT_DECODER=interpret)."""
+    flag = os.environ.get("CSM_TPU_RESIDENT_DECODER", "1")
+    if flag == "0" or "_resident" not in params or b != 1:
+        return False
+    from csm_mlx_tpu.ops.resident_decoder import sampler_supported
+
+    if not sampler_supported(sampler):
+        return False
+    if jax.default_backend() == "cpu":
+        # Interpret mode (tests) only; the TPU PRNG primitive behind the
+        # temperature path has no CPU lowering, so greedy only.
+        return flag == "interpret" and sampler.temperature == 0.0
+    return True
+
+
 def _decode_frame(
     params,
     args: ModelArgs,
@@ -161,10 +180,27 @@ def _decode_frame(
     history = jnp.roll(history, -1, axis=-1).at[:, -1].set(c0)
 
     # --- decoder prime: [h, embed(c0)] ----------------------------------
-    dcache = KVCache.init(dcfg, b, n_cb + 1, dtype=last_hidden.dtype)
     c0_emb = embed_audio(params, args, 0, c0).astype(last_hidden.dtype)
     x01 = jnp.stack([last_hidden, c0_emb], axis=1)  # (B, 2, D_backbone)
     proj01 = linear(params["projection"], x01)
+
+    # --- VMEM-resident whole-frame kernel (B=1 fast path) ---------------
+    # One pallas_call runs the prime + all 30 decoder steps with the int8
+    # decoder weights loaded into VMEM once (ops/resident_decoder.py); the
+    # dispatched path below re-streams all weights on every step.
+    if _use_resident_decoder(params, sampler, b):
+        from csm_mlx_tpu.ops.resident_decoder import resident_decode_frame
+
+        key, ks = jax.random.split(key)
+        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        toks = resident_decode_frame(params["_resident"], args, proj01[0],
+                                     seed, sampler.temperature)
+        frame = jnp.concatenate([c0[:, None], toks[None, 1:]],
+                                axis=1).astype(jnp.int32)
+        return frame, key, history
+
+    dcache = KVCache.init(dcfg, b, n_cb + 1, dtype=last_hidden.dtype)
     cap = n_cb + 1
     k_idx = jnp.arange(cap, dtype=jnp.int32)
 

@@ -77,6 +77,10 @@ def tree_to_flat(tree: Any, prefix: str = "") -> Dict[str, Any]:
     flat: Dict[str, Any] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
+            if isinstance(k, str) and k.startswith("_"):
+                # Derived caches (e.g. the "_resident" decoder tables) are
+                # rebuildable from the real weights — never checkpointed.
+                continue
             flat.update(tree_to_flat(v, f"{prefix}{k}."))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):

@@ -424,3 +424,13 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
         for key in ("backbone", "decoder"):
             if key in p:
                 fuse_layer_weights(p[key])
+
+    # Derive the VMEM-resident frame-kernel tables (TPU, W8A8+fused only):
+    # B=1 generation then runs the whole decoder frame in one pallas_call
+    # (ops/resident_decoder.py). No-op when the layout doesn't match.
+    if (mode == "w8a8" and fuse and "decoder" in targets
+            and jax.default_backend() != "cpu"
+            and os.environ.get("CSM_TPU_RESIDENT_DECODER", "1") != "0"):
+        from csm_mlx_tpu.ops.resident_decoder import prepare_resident_decoder
+
+        prepare_resident_decoder(model)

@@ -1,0 +1,183 @@
+"""VMEM-resident whole-frame decoder kernel (ops/resident_decoder.py).
+
+The kernel runs in interpret mode on CPU; correctness is checked against a
+line-by-line jnp mirror of the kernel's arithmetic (W8A8 activation-quant
+matvecs, rotation-matrix RoPE, in-VMEM KV attention, greedy argmax). The
+mirror shares no code with the kernel, so DMA scheduling, KV indexing, and
+masking bugs show up as token mismatches.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_mlx_tpu.models.csm import CSM
+from csm_mlx_tpu.ops.quant import quantize_model
+from csm_mlx_tpu.ops.resident_decoder import (
+    prepare_resident_decoder,
+    resident_decode_frame,
+    sampler_supported,
+)
+from tests.conftest import tiny_args
+
+
+@pytest.fixture(scope="module")
+def quant_model():
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(7))
+    # Give audio_head real values (csm init zeroes it, which would make
+    # every argmax trivially 0).
+    model.params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(8), model.params["audio_head"].shape,
+        dtype=jnp.float32)
+    quantize_model(model, mode="w8a8", min_size=1,
+                   targets=("decoder", "projection"), fuse=True)
+    assert prepare_resident_decoder(model)
+    return model
+
+
+def _mirror_mv(x, qp_q, sz):
+    """The kernel's W8A8 matvec: dynamic activation quant + affine fix-up."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+    xq = jnp.clip(jnp.round(x * (127.0 / absmax)), -127, 127).astype(jnp.int8)
+    p = jax.lax.dot_general(
+        xq, qp_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (p.astype(jnp.float32) * sz[0:1] * (absmax / 127.0)
+            + sz[1:2] * jnp.sum(x))
+
+
+def _mirror_frame(res, args, proj01):
+    """Greedy whole-frame reference in plain jnp (no Pallas)."""
+    dcfg = args.decoder_config
+    n_cb, v = args.n_audio_codebooks, args.n_audio_vocab
+    heads, n_kv, hd = (dcfg.num_attention_heads, dcfg.num_key_value_heads,
+                       dcfg.head_dim)
+    attn_d, kvd, group = heads * hd, n_kv * hd, heads // n_kv
+    eps = dcfg.rms_norm_eps
+    rot = np.asarray(res["rot"])
+    v_pad = res["audio_head"].shape[-1]
+
+    def rms(x, g):
+        rr = jax.lax.rsqrt(jnp.mean(x * x) + eps)
+        return x * rr * g
+
+    kc = jnp.zeros((len(res["layers"]), n_cb, kvd), jnp.float32)
+    vc = jnp.zeros_like(kc)
+    toks = [0] * n_cb
+    for s in range(n_cb):
+        if s < 2:
+            x = proj01[s:s + 1].astype(jnp.float32)
+        else:
+            row = (s - 2) * v + toks[s - 1]
+            x = res["embed_tab"][row].astype(jnp.float32)  # (1, d)
+        for li, lw in enumerate(res["layers"]):
+            ln1, qkv_q, qkv_sz, o_q, o_sz, ln2, gu_q, gu_sz, dn_q, dn_sz = lw
+            h = rms(x, ln1)
+            qkv = _mirror_mv(h, qkv_q, qkv_sz)
+            q = qkv[:, :attn_d].reshape(heads, hd) @ rot[s]
+            k = qkv[:, attn_d:attn_d + kvd].reshape(n_kv, hd) @ rot[s]
+            val = qkv[:, attn_d + kvd:]
+            kc = kc.at[li, s].set(k.reshape(kvd))
+            vc = vc.at[li, s].set(val.reshape(kvd))
+            outs = []
+            lanes = jnp.arange(n_cb)
+            for g in range(n_kv):
+                qg = q[g * group:(g + 1) * group]
+                kg = kc[li][:, g * hd:(g + 1) * hd]
+                sc = (qg @ kg.T) * (hd ** -0.5)
+                sc = jnp.where(lanes[None, :] <= s, sc, -1e30)
+                p = jax.nn.softmax(sc, axis=-1)
+                outs.append(p @ vc[li][:, g * hd:(g + 1) * hd])
+            a = jnp.concatenate(outs, axis=0).reshape(1, attn_d)
+            x = x + _mirror_mv(a, o_q, o_sz)
+            h2 = rms(x, ln2)
+            gu = _mirror_mv(h2, gu_q, gu_sz)
+            f = gu.shape[-1] // 2
+            act = gu[:, :f] * jax.nn.sigmoid(gu[:, :f]) * gu[:, f:]
+            x = x + _mirror_mv(act, dn_q, dn_sz)
+        h = rms(x, res["norm"])
+        if s >= 1:
+            head = res["audio_head"][s - 1]  # (d, v_pad) bf16
+            logits = jax.lax.dot_general(
+                h.astype(jnp.bfloat16), head, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = jnp.where(jnp.arange(v_pad)[None, :] < v, logits, -1e30)
+            toks[s] = int(jnp.argmax(logits[0]))
+    return toks
+
+
+def test_kernel_matches_mirror(quant_model):
+    model = quant_model
+    res = model.params["_resident"]
+    proj01 = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (2, model.args.decoder_config.hidden_size)) * 0.3
+    seed = jnp.zeros((1,), jnp.int32)
+
+    toks = resident_decode_frame(res, model.args, proj01, seed, 0.0)
+    expect = _mirror_frame(res, model.args, proj01)
+
+    assert int(toks[0]) == 0
+    np.testing.assert_array_equal(np.asarray(toks)[1:],
+                                  np.asarray(expect, np.int32)[1:])
+
+
+def test_prepared_tables_shapes(quant_model):
+    res = quant_model.params["_resident"]
+    args = quant_model.args
+    dcfg = args.decoder_config
+    v = args.n_audio_vocab
+    v_pad = -(-v // 128) * 128
+    assert res["audio_head"].shape == (
+        args.n_audio_codebooks - 1, dcfg.hidden_size, v_pad)
+    assert res["embed_tab"].shape == (
+        (args.n_audio_codebooks - 2) * v, 1, dcfg.hidden_size)
+    assert res["rot"].shape == (
+        args.n_audio_codebooks, dcfg.head_dim, dcfg.head_dim)
+    assert len(res["layers"]) == dcfg.num_hidden_layers
+
+
+def test_resident_tables_never_checkpointed(quant_model):
+    from csm_mlx_tpu.loaders import params_to_reference_flat
+
+    flat = params_to_reference_flat(quant_model.params)
+    assert not any(k.startswith("_resident") for k in flat)
+
+
+def test_sampler_gate():
+    from csm_mlx_tpu.ops.sampling import SamplerConfig
+
+    assert sampler_supported(SamplerConfig(temperature=0.0))
+    assert sampler_supported(SamplerConfig(temperature=0.7))
+    assert not sampler_supported(SamplerConfig(temperature=0.7, top_k=5))
+    assert not sampler_supported(SamplerConfig(temperature=0.7, top_p=0.9))
+    assert not sampler_supported(lambda k, l: 0)  # custom callable
+
+
+def test_generation_uses_resident_path(quant_model, monkeypatch):
+    """End-to-end fused loop with the resident kernel enabled (interpret):
+    runs, is deterministic, and produces in-range tokens."""
+    from csm_mlx_tpu import generation
+
+    monkeypatch.setenv("CSM_TPU_RESIDENT_DECODER", "interpret")
+    generation._build_generate_tokens.cache_clear()
+    try:
+        from csm_mlx_tpu.generation import generate_tokens
+
+        args = quant_model.args
+        prompt = np.zeros((4, args.n_audio_codebooks + 1), np.int32)
+        prompt[:, -1] = np.arange(4) + 5
+        mask = np.zeros_like(prompt)
+        mask[:, -1] = 1
+        f1, n1 = generate_tokens(quant_model, prompt, mask, 3,
+                                 temperature=0.0)
+        f2, n2 = generate_tokens(quant_model, prompt, mask, 3,
+                                 temperature=0.0)
+        assert n1 == n2
+        np.testing.assert_array_equal(f1, f2)
+        assert f1.max() < args.n_audio_vocab and f1.min() >= 0
+    finally:
+        generation._build_generate_tokens.cache_clear()
