@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(flag: str, model, tokens, msk, pad_len, seconds=4.0):
+def run(flag: str, model, tokens, msk, pad_len, seconds=4.0, batch=1):
     import jax
     import jax.numpy as jnp
 
@@ -30,15 +30,20 @@ def run(flag: str, model, tokens, msk, pad_len, seconds=4.0):
     gen_fn = generation._build_generate_tokens(
         model.args, SamplerConfig(temperature=0.0), (),
         tokens.shape[1], int(seconds * 12.5), "bfloat16")
+    toks = np.repeat(tokens[None], batch, axis=0)
+    msks = np.repeat(msk[None], batch, axis=0)
+    # vary rows so the batch check isn't trivially row-identical
+    for bi in range(1, batch):
+        toks[bi, :, -1] = np.roll(toks[bi, :, -1], bi)
     t0 = time.perf_counter()
-    frames, n = gen_fn(model.params, jnp.asarray(tokens[None]),
-                       jnp.asarray(msk[None]),
-                       jnp.asarray([pad_len], jnp.int32),
+    frames, n = gen_fn(model.params, jnp.asarray(toks),
+                       jnp.asarray(msks),
+                       jnp.asarray([pad_len] * batch, jnp.int32),
                        jax.random.PRNGKey(1))
     frames = np.asarray(jax.device_get(frames))
     n = int(np.asarray(n)[0])
     dt = time.perf_counter() - t0
-    return frames[:n, 0], n, dt
+    return frames[:n], n, dt
 
 
 def main():
@@ -62,24 +67,23 @@ def main():
     mask = np.zeros((s, 33), dtype=np.int32)
     mask[:, -1] = 1
 
-    fr_res, n_res, t_res = run("1", model, prompt, mask, 0)
-    fr_dis, n_dis, t_dis = run("0", model, prompt, mask, 0)
+    for batch in (1, 4):
+        fr_res, n_res, t_res = run("1", model, prompt, mask, 0, batch=batch)
+        fr_dis, n_dis, t_dis = run("0", model, prompt, mask, 0, batch=batch)
 
-    print(f"resident: {n_res} frames in {t_res:.2f}s | "
-          f"dispatched: {n_dis} frames in {t_dis:.2f}s")
-    n = min(n_res, n_dis)
-    agree = (fr_res[:n] == fr_dis[:n])
-    per_frame = agree.all(axis=1)
-    total = float(agree.mean())
-    print(f"token agreement: {total:.4%}; frames fully equal: "
-          f"{int(per_frame.sum())}/{n}")
-    if not per_frame.all():
-        f = int(np.argmin(per_frame))
-        bad = np.nonzero(~agree[f])[0]
-        print(f"first mismatch frame {f}, codebooks {bad[:8]}: "
-              f"res={fr_res[f, bad[:8]]} dis={fr_dis[f, bad[:8]]}")
-    assert n_res == n_dis, (n_res, n_dis)
-    assert total > 0.999, total
+        print(f"B={batch} resident: {n_res} frames in {t_res:.2f}s | "
+              f"dispatched: {n_dis} frames in {t_dis:.2f}s")
+        n = min(n_res, n_dis)
+        agree = (fr_res[:n] == fr_dis[:n])
+        total = float(agree.mean())
+        per_frame = agree.reshape(n, -1).all(axis=1)
+        print(f"B={batch} token agreement: {total:.4%}; frames fully "
+              f"equal: {int(per_frame.sum())}/{n}")
+        if not per_frame.all():
+            f = int(np.argmin(per_frame))
+            print(f"first mismatch frame {f}")
+        assert n_res == n_dis, (n_res, n_dis)
+        assert total > 0.999, total
     print("OK")
 
 

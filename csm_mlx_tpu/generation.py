@@ -130,11 +130,12 @@ def _backbone_step(
 
 def _use_resident_decoder(params, sampler, b: int) -> bool:
     """Trace-time gate for the VMEM-resident frame kernel: prepared tables
-    present, single-stream, simple sampler, not disabled, and a backend
-    whose Pallas supports the kernel (TPU; CPU only via interpret mode in
-    tests, which set CSM_TPU_RESIDENT_DECODER=interpret)."""
+    present, small lockstep batch, simple sampler, not disabled, and a
+    backend whose Pallas supports the kernel (TPU; CPU only via interpret
+    mode in tests, which set CSM_TPU_RESIDENT_DECODER=interpret)."""
     flag = os.environ.get("CSM_TPU_RESIDENT_DECODER", "1")
-    if flag == "0" or "_resident" not in params or b != 1:
+    max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "8"))
+    if flag == "0" or "_resident" not in params or b > max_b:
         return False
     from csm_mlx_tpu.ops.resident_decoder import sampler_supported
 
@@ -194,9 +195,10 @@ def _decode_frame(
         key, ks = jax.random.split(key)
         seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
-        toks = resident_decode_frame(params["_resident"], args, proj01[0],
-                                     seed, sampler.temperature)
-        frame = jnp.concatenate([c0[:, None], toks[None, 1:]],
+        toks = resident_decode_frame(
+            params["_resident"], args, proj01.transpose(1, 0, 2),
+            seed, sampler.temperature)  # (n_cb, B)
+        frame = jnp.concatenate([c0[:, None], toks[1:].transpose(1, 0)],
                                 axis=1).astype(jnp.int32)
         return frame, key, history
 

@@ -402,6 +402,12 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
 
     Quantized dicts are served directly by `ops.layers.linear`, which
     dispatches on the presence of `weight_q` — no patching or registration.
+
+    On TPU, w8a8+fuse additionally derives the VMEM-resident frame-kernel
+    tables (`params["_resident"]`, see ops/resident_decoder.py): batch ≤ 8
+    generation then runs each decoder frame as a single Pallas call with
+    all decoder weights resident in VMEM (RTF 10.9 → 17.8 single-stream,
+    72× → 151× aggregate at batch 8). `CSM_TPU_RESIDENT_DECODER=0` opts out.
     """
 
     def predicate(w) -> bool:

@@ -65,6 +65,7 @@ def _rope_matrices(cfg, cap: int) -> np.ndarray:
 
 def _frame_kernel(
     # ---- static (bound via partial) ----
+    b: int,
     n_layers: int,
     n_heads: int,
     n_kv: int,
@@ -78,7 +79,14 @@ def _frame_kernel(
     temperature: float,
     *refs,
 ):
-    """One whole CSM frame. See module docstring for the phase layout."""
+    """One whole CSM frame for a static batch of `b` lockstep rows.
+
+    See the module docstring for the phase layout. All rows advance through
+    the same step index (the batch generation loop keeps rows in lockstep
+    and handles per-row EOS outside), so the KV cache, audio_head buffer,
+    and rope matrices are shared; only activations, sampled tokens, and the
+    embedding gathers are per-row.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -92,9 +100,9 @@ def _frame_kernel(
     w = refs[3:3 + 10 * n_layers]
     normf_ref = refs[3 + 10 * n_layers]
     ah_ref = refs[4 + 10 * n_layers]       # HBM (n_cb-1, d, v_pad) bf16
-    emb_ref = refs[5 + 10 * n_layers]      # HBM ((n_cb-2)*v, 1, d) bf16
-    tok_ref = refs[6 + 10 * n_layers]      # SMEM out (n_cb,) int32
-    (kc_ref, vc_ref, ah_buf, emb_buf, x_sc, prev_ref, ah_sem, emb_sem) = \
+    emb_ref = refs[5 + 10 * n_layers]      # HBM ((n_cb-2)*v, 1, d) f32
+    tok_ref = refs[6 + 10 * n_layers]      # VMEM out (n_cb, b) int32
+    (kc_ref, vc_ref, ah_buf, emb_buf, x_sc, ah_sem, emb_sem) = \
         refs[7 + 10 * n_layers:]
 
     if temperature > 0.0:
@@ -103,13 +111,15 @@ def _frame_kernel(
     def ah_dma(i, p):
         return pltpu.make_async_copy(ah_ref.at[i], ah_buf.at[p], ah_sem.at[p])
 
-    def emb_dma(row):
-        return pltpu.make_async_copy(emb_ref.at[row], emb_buf, emb_sem)
+    def emb_dma(row, bi):
+        return pltpu.make_async_copy(emb_ref.at[row], emb_buf.at[bi],
+                                     emb_sem.at[bi])
 
     def mv(x, q_ref, sz_ref):
-        """W8A8 matvec: dynamic per-row int8 activation quant, int8xint8 on
+        """W8A8 matmul: dynamic per-row int8 activation quant, int8xint8 on
         the MXU, per-channel affine correction (ops/quant.py:148-218)."""
-        absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+        absmax = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-6)   # (b, 1)
         inv_xs = absmax * (1.0 / 127.0)
         xq = jnp.clip(jnp.round(x * (127.0 / absmax)), -127, 127).astype(
             jnp.int8)
@@ -120,20 +130,21 @@ def _frame_kernel(
         )
         sz = sz_ref[...]
         return (p.astype(jnp.float32) * sz[0:1, :] * inv_xs
-                + sz[1:2, :] * jnp.sum(x))
+                + sz[1:2, :] * jnp.sum(x, axis=-1, keepdims=True))
 
     def rms(x, g_ref):
-        rr = jax.lax.rsqrt(jnp.mean(x * x) + eps)
+        rr = jax.lax.rsqrt(
+            jnp.mean(x * x, axis=-1, keepdims=True) + eps)        # (b, 1)
         return x * rr * g_ref[...]
 
     def layer(li, x, s, rot_m):
         (ln1, qkv_q, qkv_sz, o_q, o_sz, ln2, gu_q, gu_sz, dn_q, dn_sz) = \
             w[10 * li:10 * li + 10]
         h = rms(x, ln1)
-        qkv = mv(h, qkv_q, qkv_sz)                     # (1, attn+2*kvd)
-        q = qkv[:, :attn].reshape(n_heads, hd)
-        k = qkv[:, attn:attn + kvd].reshape(n_kv, hd)
-        val = qkv[:, attn + kvd:]                      # (1, kvd)
+        qkv = mv(h, qkv_q, qkv_sz)                     # (b, attn+2*kvd)
+        q = qkv[:, :attn].reshape(b * n_heads, hd)
+        k = qkv[:, attn:attn + kvd].reshape(b * n_kv, hd)
+        val = qkv[:, attn + kvd:]                      # (b, kvd)
 
         dn = (((1,), (0,)), ((), ()))
         q_rot = jax.lax.dot_general(q, rot_m, dn,
@@ -141,35 +152,39 @@ def _frame_kernel(
         k_rot = jax.lax.dot_general(k, rot_m, dn,
                                     preferred_element_type=jnp.float32)
 
-        kc_ref[li, pl.ds(s, 1), :] = k_rot.reshape(1, kvd)
-        vc_ref[li, pl.ds(s, 1), :] = val
+        kc_ref[li, pl.ds(s, 1), :, :] = k_rot.reshape(1, b, kvd)
+        vc_ref[li, pl.ds(s, 1), :, :] = val.reshape(1, b, kvd)
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (group, cap), 1)
-        outs = []
-        for g in range(n_kv):
-            qg = q_rot[g * group:(g + 1) * group]      # (group, hd)
-            kg = kc_ref[li][:, g * hd:(g + 1) * hd]    # (cap, hd)
-            sc = jax.lax.dot_general(
-                qg, kg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            # select (not add): scratch slots past s are uninitialized and
-            # may hold NaN — `garbage + NEG` would stay NaN through softmax.
-            sc = jnp.where(lanes <= s, sc, NEG)
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp(sc - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            vg = vc_ref[li][:, g * hd:(g + 1) * hd]
-            outs.append(jax.lax.dot_general(
-                p, vg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))   # (group, hd)
-        a = jnp.concatenate(outs, axis=0).reshape(1, attn)
+        rows = []
+        for bi in range(b):
+            outs = []
+            for g in range(n_kv):
+                qg = q_rot[bi * n_heads + g * group:
+                           bi * n_heads + (g + 1) * group]   # (group, hd)
+                kg = kc_ref[li][:, bi, g * hd:(g + 1) * hd]  # (cap, hd)
+                sc = jax.lax.dot_general(
+                    qg, kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                # select (not add): scratch slots past s are uninitialized
+                # and may hold NaN — `garbage + NEG` stays NaN thru softmax.
+                sc = jnp.where(lanes <= s, sc, NEG)
+                m = jnp.max(sc, axis=-1, keepdims=True)
+                e = jnp.exp(sc - m)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                vg = vc_ref[li][:, bi, g * hd:(g + 1) * hd]
+                outs.append(jax.lax.dot_general(
+                    p, vg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # (group, hd)
+            rows.append(jnp.concatenate(outs, axis=0).reshape(1, attn))
+        a = jnp.concatenate(rows, axis=0)                    # (b, attn)
         x = x + mv(a, o_q, o_sz)
         h2 = rms(x, ln2)
-        gu = mv(h2, gu_q, gu_sz)                       # (1, 2f)
+        gu = mv(h2, gu_q, gu_sz)                       # (b, 2f)
         act = gu[:, :f] * jax.nn.sigmoid(gu[:, :f]) * gu[:, f:]
         return x + mv(act, dn_q, dn_sz)
 
-    tok_ref[0] = 0
+    tok_ref[pl.ds(0, 1), :] = jnp.zeros((1, b), jnp.int32)
     # Zero the KV scratch: slots past the current step are masked out of the
     # softmax, but NaN garbage would still poison the P @ V product (0 * NaN).
     kc_ref[...] = jnp.zeros_like(kc_ref)
@@ -181,12 +196,13 @@ def _frame_kernel(
         # ---- input embedding for this step --------------------------------
         @pl.when(s < 2)
         def _():
-            x_sc[...] = proj01_ref[pl.ds(s, 1), :]
+            x_sc[...] = proj01_ref[pl.ds(s, 1), :, :].reshape(b, d)
 
         @pl.when(s >= 2)
         def _():
-            emb_dma(0).wait()
-            x_sc[...] = emb_buf[...].astype(jnp.float32)
+            for bi in range(b):
+                emb_dma(0, bi).wait()
+            x_sc[...] = emb_buf[...].astype(jnp.float32).reshape(b, d)
 
         x = x_sc[...]
         rot_m = rot_ref[pl.ds(s, 1), :, :].reshape(hd, hd)
@@ -203,34 +219,41 @@ def _frame_kernel(
             logits = jax.lax.dot_general(
                 h.astype(jnp.bfloat16), head,
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (1, v_pad)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, v_pad), 1)
+                preferred_element_type=jnp.float32)    # (b, v_pad)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (b, v_pad), 1)
             logits = jnp.where(lanes < v, logits, NEG)
             if temperature > 0.0:
                 from jax.experimental.pallas import tpu as _pltpu
 
                 bits = _pltpu.bitcast(
-                    _pltpu.prng_random_bits((1, v_pad)), jnp.int32)
+                    _pltpu.prng_random_bits((b, v_pad)), jnp.int32)
                 u = (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23))
                 g = -jnp.log(-jnp.log(u + 1e-10) + 1e-10)
                 logits = logits * (1.0 / temperature) + g
                 logits = jnp.where(lanes < v, logits, NEG)
-            m = jnp.max(logits)
-            tok = jnp.min(jnp.where(logits == m, lanes, jnp.int32(2 ** 30)))
-            tok_ref[s] = tok
-            prev_ref[0] = tok
+
+            # Per-row argmax; rows are peeled (b is static) because the
+            # embedding gather needs each token as a *scalar* DMA index.
+            for bi in range(b):
+                lrow = logits[bi:bi + 1]
+                lrow_lanes = lanes[bi:bi + 1]
+                m = jnp.max(lrow)
+                tok = jnp.min(jnp.where(lrow == m, lrow_lanes,
+                                        jnp.int32(2 ** 30)))
+                tok_ref[pl.ds(s, 1), pl.ds(bi, 1)] = jnp.full(
+                    (1, 1), tok, jnp.int32)
+
+                # gather the projected embedding of the token just sampled —
+                # the input of step s+1 (embed slot s, table row (s-1)*v+tok)
+                @pl.when(s <= n_cb - 2)
+                def _():
+                    emb_dma((s - 1) * v + tok, bi).start()
 
             # prefetch audio_head for step s+2 (reuses this parity's buffer
             # only after the logits dot above has consumed it)
             @pl.when(s + 1 <= n_cb - 2)
             def _():
                 ah_dma(s + 1, p).start()
-
-            # gather the projected embedding of the token just sampled —
-            # it is the input of step s+1 (embed slot s-1, rows s-1)*v+tok)
-            @pl.when(s <= n_cb - 2)
-            def _():
-                emb_dma((s - 1) * v + tok).start()
 
         return carry
 
@@ -243,11 +266,11 @@ def _build_frame_call(shape_key, temperature: float, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    (n_layers, n_heads, n_kv, hd, d, f, n_cb, v, v_pad, eps) = shape_key
+    (b, n_layers, n_heads, n_kv, hd, d, f, n_cb, v, v_pad, eps) = shape_key
     kvd = n_kv * hd
 
     kernel = functools.partial(
-        _frame_kernel, n_layers, n_heads, n_kv, hd, d, f, n_cb, v, v_pad,
+        _frame_kernel, b, n_layers, n_heads, n_kv, hd, d, f, n_cb, v, v_pad,
         eps, temperature)
 
     n_in = 3 + 10 * n_layers + 3
@@ -260,17 +283,16 @@ def _build_frame_call(shape_key, temperature: float, interpret: bool):
     return pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_cb,), jnp.int32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_cb, b), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((n_layers, n_cb, kvd), jnp.float32),   # K cache
-            pltpu.VMEM((n_layers, n_cb, kvd), jnp.float32),   # V cache
+            pltpu.VMEM((n_layers, n_cb, b, kvd), jnp.float32),  # K cache
+            pltpu.VMEM((n_layers, n_cb, b, kvd), jnp.float32),  # V cache
             pltpu.VMEM((2, d, v_pad), jnp.bfloat16),          # audio_head 2x
-            pltpu.VMEM((1, d), jnp.float32),                  # embed row
-            pltpu.VMEM((1, d), jnp.float32),                  # x
-            pltpu.SMEM((1,), jnp.int32),                      # prev token
+            pltpu.VMEM((b, 1, d), jnp.float32),               # embed rows
+            pltpu.VMEM((b, d), jnp.float32),                  # x
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((b,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
@@ -280,14 +302,16 @@ def _build_frame_call(shape_key, temperature: float, interpret: bool):
 
 def resident_decode_frame(res: Dict[str, Any], args, proj01: jax.Array,
                           seed: jax.Array, temperature: float) -> jax.Array:
-    """Run one frame. proj01: (2, d_decoder) f32 — projected
-    [backbone_hidden, c0_embed]. Returns (n_cb,) int32; slot 0 is 0 (c0 is
-    sampled by the caller), slots 1..31 are the decoder codebooks."""
+    """Run one frame for a batch. proj01: (2, B, d_decoder) f32 — projected
+    [backbone_hidden, c0_embed] per row. Returns (n_cb, B) int32; row 0 is
+    zeros (c0 is sampled by the caller), rows 1..31 are the decoder
+    codebooks for every batch row."""
     dcfg = args.decoder_config
     v = args.n_audio_vocab
     v_pad = res["audio_head"].shape[-1]
+    b = proj01.shape[1]
     shape_key = (
-        dcfg.num_hidden_layers, dcfg.num_attention_heads,
+        b, dcfg.num_hidden_layers, dcfg.num_attention_heads,
         dcfg.num_key_value_heads, dcfg.head_dim, dcfg.hidden_size,
         dcfg.intermediate_size, args.n_audio_codebooks, v, v_pad,
         dcfg.rms_norm_eps,

@@ -117,12 +117,34 @@ def test_kernel_matches_mirror(quant_model):
         (2, model.args.decoder_config.hidden_size)) * 0.3
     seed = jnp.zeros((1,), jnp.int32)
 
-    toks = resident_decode_frame(res, model.args, proj01, seed, 0.0)
+    toks = resident_decode_frame(res, model.args, proj01[:, None, :],
+                                 seed, 0.0)  # (n_cb, 1)
     expect = _mirror_frame(res, model.args, proj01)
 
-    assert int(toks[0]) == 0
-    np.testing.assert_array_equal(np.asarray(toks)[1:],
+    assert toks.shape == (model.args.n_audio_codebooks, 1)
+    assert int(toks[0, 0]) == 0
+    np.testing.assert_array_equal(np.asarray(toks)[1:, 0],
                                   np.asarray(expect, np.int32)[1:])
+
+
+def test_kernel_batch_rows_independent(quant_model):
+    """Each batch row must reproduce its own B=1 token stream exactly."""
+    model = quant_model
+    res = model.params["_resident"]
+    d = model.args.decoder_config.hidden_size
+    seed = jnp.zeros((1,), jnp.int32)
+    rows = jax.random.normal(jax.random.PRNGKey(9), (3, 2, d)) * 0.3
+
+    batched = resident_decode_frame(
+        res, model.args, rows.transpose(1, 0, 2), seed, 0.0)  # (n_cb, 3)
+    for bi in range(3):
+        single = resident_decode_frame(
+            res, model.args, rows[bi][:, None, :], seed, 0.0)
+        np.testing.assert_array_equal(np.asarray(batched)[:, bi],
+                                      np.asarray(single)[:, 0])
+    # distinct inputs should (with these random weights) differ somewhere
+    assert not np.array_equal(np.asarray(batched)[:, 0],
+                              np.asarray(batched)[:, 1])
 
 
 def test_prepared_tables_shapes(quant_model):
