@@ -113,9 +113,6 @@ def dispatched_chain(layers):
          for k in ("qkv", "o", "gu", "down")}
         for l in layers
     ]
-    zeros = {k: jnp.zeros_like(w[f"s_{k}"])
-             for w in weights for k in ("qkv", "o", "gu", "down")}
-
     @jax.jit
     def run(x):
         for _ in range(N_STEPS):

@@ -41,9 +41,9 @@ def run(flag: str, model, tokens, msk, pad_len, seconds=4.0, batch=1):
                        jnp.asarray([pad_len] * batch, jnp.int32),
                        jax.random.PRNGKey(1))
     frames = np.asarray(jax.device_get(frames))
-    n = int(np.asarray(n)[0])
+    n = np.asarray(n)  # per-row frame counts
     dt = time.perf_counter() - t0
-    return frames[:n], n, dt
+    return frames[:int(n.max())], n, dt
 
 
 def main():
@@ -73,7 +73,8 @@ def main():
 
         print(f"B={batch} resident: {n_res} frames in {t_res:.2f}s | "
               f"dispatched: {n_dis} frames in {t_dis:.2f}s")
-        n = min(n_res, n_dis)
+        assert np.array_equal(n_res, n_dis), (n_res, n_dis)  # all rows
+        n = int(n_res.min())
         agree = (fr_res[:n] == fr_dis[:n])
         total = float(agree.mean())
         per_frame = agree.reshape(n, -1).all(axis=1)
@@ -82,7 +83,6 @@ def main():
         if not per_frame.all():
             f = int(np.argmin(per_frame))
             print(f"first mismatch frame {f}")
-        assert n_res == n_dis, (n_res, n_dis)
         assert total > 0.999, total
     print("OK")
 

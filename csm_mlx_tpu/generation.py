@@ -266,14 +266,35 @@ def _frame_to_next_input(frame):
 # ---------------------------------------------------------------------------
 
 
+def _resident_env_key() -> Tuple[str, str]:
+    """The env knobs _use_resident_decoder reads at trace time. Folding them
+    into the builder cache keys makes toggling them mid-process take effect
+    on the next call instead of silently reusing the old compiled loop."""
+    return (os.environ.get("CSM_TPU_RESIDENT_DECODER", "1"),
+            os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "8"))
+
+
+def _env_keyed(cached_builder):
+    """Wrap an lru_cached builder so the resident env key is part of the
+    cache key; preserves .cache_clear() for tests/benchmarks."""
+
+    @functools.wraps(cached_builder)
+    def wrapper(*a):
+        return cached_builder(*a, _resident_env_key())
+
+    wrapper.cache_clear = cached_builder.cache_clear
+    return wrapper
+
+
 @functools.lru_cache(maxsize=64)
-def _build_generate_tokens(
+def _build_generate_tokens_impl(
     args: ModelArgs,
     sampler: SamplerConfig,
     processors: Tuple,
     bucket: int,
     max_frames: int,
     cache_dtype: str,
+    _env: Tuple[str, str] = None,
 ):
     bcfg = args.backbone_config
     dcfg = args.decoder_config
@@ -343,14 +364,18 @@ def _build_generate_tokens(
     return jax.jit(gen)
 
 
+_build_generate_tokens = _env_keyed(_build_generate_tokens_impl)
+
+
 @functools.lru_cache(maxsize=64)
-def _build_stream_fns(
+def _build_stream_fns_impl(
     args: ModelArgs,
     sampler: SamplerConfig,
     processors: Tuple,
     bucket: int,
     max_frames: int,
     cache_dtype: str,
+    _env: Tuple[str, str] = None,
 ):
     """(first_frame_fn, next_frame_fn) for streaming generation."""
     bcfg = args.backbone_config
@@ -388,6 +413,9 @@ def _build_stream_fns(
         jax.jit(first),
         jax.jit(step, donate_argnums=(3, 5)),
     )
+
+
+_build_stream_fns = _env_keyed(_build_stream_fns_impl)
 
 
 # ---------------------------------------------------------------------------

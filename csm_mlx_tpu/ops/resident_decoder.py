@@ -387,10 +387,30 @@ def prepare_resident_decoder(model) -> bool:
 
     # Projected audio-embedding table for codebook slots 1..n_cb-2: the
     # decoder consumes projection(embed(token, slot)) — precomputing folds
-    # the per-step projection matvec into a 2 KB row gather.
+    # the per-step projection matvec into a 2 KB row gather. When the
+    # projection is W8A8-quantized, reproduce the Pallas matvec's exact
+    # arithmetic (per-row dynamic int8 activation quant + affine fixup,
+    # ops/quant.py:148-218) rather than linear()'s large-batch dequant
+    # fallback, so resident and dispatched decode feed bit-matching inputs.
     emb = p["audio_embeddings"]["weight"]
     rows = emb[v:(n_cb - 1) * v]  # slots 1..n_cb-2
-    proj = jax.jit(lambda r: linear(p["projection"], r))
+    pq = p["projection"]
+    if "weight_q" in pq and pq["weight_q"].dtype == jnp.int8:
+        @jax.jit
+        def proj(r):
+            xf = r.astype(jnp.float32)
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+            xq = jnp.clip(jnp.round(xf * (127.0 / absmax)),
+                          -127, 127).astype(jnp.int8)
+            out = jax.lax.dot_general(
+                xq, pq["weight_q"], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            return (out * pq["scales"].reshape(1, -1) * (absmax / 127.0)
+                    + pq["biases"].reshape(1, -1)
+                    * jnp.sum(xf, axis=-1, keepdims=True))
+    else:
+        proj = jax.jit(lambda r: linear(pq, r))
 
     chunks = []
     step = 8192
@@ -416,10 +436,14 @@ def prepare_resident_decoder(model) -> bool:
 def sampler_supported(sampler) -> bool:
     """The kernel implements greedy and plain temperature-categorical —
     exactly the reference's decoder-step semantics (generation.py:81-84).
-    Anything fancier falls back to the dispatched path."""
+    Anything fancier falls back to the dispatched path. The type check is
+    exact: a custom sampler (or SamplerConfig subclass overriding __call__)
+    carries sampling logic the kernel cannot honor."""
+    from csm_mlx_tpu.ops.sampling import SamplerConfig
+
     return (
-        hasattr(sampler, "temperature")
-        and getattr(sampler, "top_p", 0.0) in (0.0, 1.0)
-        and getattr(sampler, "min_p", 0.0) == 0.0
-        and getattr(sampler, "top_k", 0) == 0
+        type(sampler) is SamplerConfig
+        and sampler.top_p in (0.0, 1.0)
+        and sampler.min_p == 0.0
+        and sampler.top_k == 0
     )

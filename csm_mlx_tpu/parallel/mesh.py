@@ -70,9 +70,19 @@ _CSM_TP_RULES: Tuple[Tuple[str, P], ...] = (
 
 
 def _tree_paths(tree: Any, prefix: str = "") -> Dict[str, Any]:
-    from csm_mlx_tpu.loaders import tree_to_flat
-
-    return tree_to_flat(tree, prefix)
+    # Unlike loaders.tree_to_flat this does NOT skip "_"-prefixed derived
+    # entries: the spec tree must be structure-identical to params for
+    # jax.tree.map (derived entries fall through to the replicate rule).
+    flat: Dict[str, Any] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_tree_paths(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(_tree_paths(v, f"{prefix}{i}."))
+    else:
+        flat[prefix[:-1]] = tree
+    return flat
 
 
 def _unflatten_like(tree: Any, flat: Dict[str, Any]) -> Any:
@@ -133,6 +143,14 @@ def shard_model(model: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
     Tensor-parallel rules target the bf16 weight layout; quantize with
     `fuse=False` (and prefer bf16) when tensor-sharding — the Pallas
     quantized matvec is a single-device kernel.
+
+    Derived "_"-prefixed param entries (e.g. the "_resident" frame-kernel
+    tables, which assume a single-device decoder) are dropped: sharded
+    generation uses the dispatched decode path.
     """
+    if isinstance(model.params, dict):
+        for k in [k for k in model.params if isinstance(k, str)
+                  and k.startswith("_")]:
+            del model.params[k]
     model.params = shard_params(model.params, mesh, tensor_parallel)
     return model

@@ -169,6 +169,31 @@ def test_resident_tables_never_checkpointed(quant_model):
     assert not any(k.startswith("_resident") for k in flat)
 
 
+def test_shard_model_with_resident_tables(quant_model):
+    """shard_model must not crash on (and must drop) the derived tables —
+    sharded generation uses the dispatched decode path."""
+    import copy
+
+    from jax.sharding import Mesh
+
+    from csm_mlx_tpu.parallel.mesh import csm_param_spec, shard_model
+
+    # spec building alone must tolerate "_"-prefixed derived entries
+    csm_param_spec(quant_model.params)
+
+    class _M:
+        pass
+
+    m = _M()
+    m.params = copy.copy(quant_model.params)  # shallow: shares arrays
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    with Mesh(devices, ("data", "model")):
+        shard_model(m, Mesh(devices, ("data", "model")),
+                    tensor_parallel=False)
+    assert "_resident" not in m.params
+    assert "_resident" in quant_model.params  # original untouched
+
+
 def test_sampler_gate():
     from csm_mlx_tpu.ops.sampling import SamplerConfig
 
