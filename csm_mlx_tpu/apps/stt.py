@@ -202,15 +202,28 @@ class OnlineASRProcessor:
         hyp = self._drop_committed(self._hypothesis())
         # LocalAgreement-2: commit the longest common prefix (by normalized
         # word) of the previous and current hypotheses. Punctuation-only
-        # tokens (empty after normalization) auto-agree — they must not
-        # stall the prefix behind them.
+        # tokens (empty after normalization) auto-agree, but consume only
+        # the *current* position — pairing them against a previous word
+        # would shift the comparison and commit unagreed words.
         agreed: List[AsrWord] = []
-        for prev, cur in zip(self._prev_hyp, hyp):
-            if _norm(cur.word) == "" or _norm(prev.word) == _norm(cur.word):
-                agreed.append(cur)
+        pi = ci = 0
+        while ci < len(hyp):
+            if _norm(hyp[ci].word) == "":
+                agreed.append(hyp[ci])
+                ci += 1
+                continue
+            if pi >= len(self._prev_hyp):
+                break
+            if _norm(self._prev_hyp[pi].word) == "":
+                pi += 1  # stale punctuation in prev: skip, don't consume cur
+                continue
+            if _norm(self._prev_hyp[pi].word) == _norm(hyp[ci].word):
+                agreed.append(hyp[ci])
+                pi += 1
+                ci += 1
             else:
                 break
-        self._prev_hyp = hyp[len(agreed):]
+        self._prev_hyp = hyp[ci:]
         text = self._commit(agreed)
 
         if agreed:

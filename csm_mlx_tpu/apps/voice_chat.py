@@ -271,6 +271,10 @@ class ConversationState:
     shutdown: asyncio.Event = field(default_factory=asyncio.Event)
     tts_speaking: bool = False
     cooldown_until: float = 0.0
+    # Set after a barge-in whose response wasn't fully flushed: sentences
+    # of the interrupted response that arrive later are discarded until
+    # its LLM_RESPONSE_END shows up.
+    discard_response: bool = False
     messages: List[dict] = field(default_factory=list)
     context_segments: List = field(default_factory=list)
     llm_start: float = 0.0
@@ -466,59 +470,94 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
         except asyncio.TimeoutError:
             continue
         if sentence == LLM_RESPONSE_END:
+            if state.discard_response:
+                # tail sentinel of an interrupted response — swallow it
+                state.discard_response = False
+                continue
             state.record_response_done()
             state.cooldown_until = time.monotonic() + COOLDOWN_S
             continue
+        if state.discard_response:
+            continue  # late sentence of an interrupted response
 
         state.tts_speaking = True
         state.interruption.clear()
         chunks: List[np.ndarray] = []
         t0 = time.monotonic()
         interrupted = False
+        timed_out = False
 
-        def generate():
-            return tts_stream_fn(sentence, speaker, list(state.context_segments))
+        try:
+            def generate():
+                return tts_stream_fn(sentence, speaker,
+                                     list(state.context_segments))
 
-        gen = await loop.run_in_executor(executor, generate)
-        fade_remaining = -1
-        while True:
-            if time.monotonic() - t0 > TTS_TIMEOUT_S:
-                logger.warning("TTS generation timeout for segment")
-                break
-            chunk = await loop.run_in_executor(executor,
-                                               lambda: next(gen, None))
-            if chunk is None:
-                break
-            chunk = np.asarray(chunk, dtype=np.float32).reshape(-1)
-            if state.interruption.is_set() and fade_remaining < 0:
-                fade_remaining = FADE_CHUNKS
-                interrupted = True
-            if fade_remaining >= 0:
-                gain = max(fade_remaining / FADE_CHUNKS, 0.0)
-                ramp = np.linspace(gain, max(gain - 1.0 / FADE_CHUNKS, 0.0),
-                                   len(chunk), dtype=np.float32)
-                chunk = chunk * ramp
-                fade_remaining -= 1
-            audio_io.play(chunk)
-            chunks.append(chunk)
-            if state.dump_audio is not None:
-                state.dump_audio.append(chunk)
-            if fade_remaining == 0:
-                break
+            gen = await loop.run_in_executor(executor, generate)
+            fade_remaining = -1
+            while True:
+                remaining = TTS_TIMEOUT_S - (time.monotonic() - t0)
+                if remaining <= 0:
+                    logger.warning("TTS generation timeout for segment")
+                    timed_out = True
+                    break
+                fut = loop.run_in_executor(executor,
+                                           lambda: next(gen, None))
+                try:
+                    # wait_for on a shield: threads can't be cancelled, but
+                    # a wedged next() must not hang the worker forever
+                    # (reference timeout semantics, :992-998).
+                    chunk = await asyncio.wait_for(asyncio.shield(fut),
+                                                   timeout=remaining)
+                except asyncio.TimeoutError:
+                    logger.warning("TTS generation timeout for segment")
+                    timed_out = True
+                    # close the generator once the stuck next() returns —
+                    # it is not safe to close while a next() is in flight
+                    fut.add_done_callback(
+                        lambda _f: executor.submit(gen.close))
+                    break
+                if chunk is None:
+                    break
+                chunk = np.asarray(chunk, dtype=np.float32).reshape(-1)
+                if state.interruption.is_set() and fade_remaining < 0:
+                    fade_remaining = FADE_CHUNKS
+                    interrupted = True
+                if fade_remaining >= 0:
+                    gain = max(fade_remaining / FADE_CHUNKS, 0.0)
+                    ramp = np.linspace(gain,
+                                       max(gain - 1.0 / FADE_CHUNKS, 0.0),
+                                       len(chunk), dtype=np.float32)
+                    chunk = chunk * ramp
+                    fade_remaining -= 1
+                audio_io.play(chunk)
+                chunks.append(chunk)
+                if state.dump_audio is not None:
+                    state.dump_audio.append(chunk)
+                if fade_remaining == 0:
+                    break
 
-        # Whether we stopped on timeout, fade-out, or exhaustion: close the
-        # generator so it releases its compiled-loop state instead of idling
-        # half-consumed in the executor (no next() is in flight here — the
-        # loop above only breaks between executor calls).
-        await loop.run_in_executor(executor, gen.close)
-
-        state.tts_speaking = False
+            # Whether we stopped on fade-out or exhaustion: close the
+            # generator so it releases its compiled-loop state instead of
+            # idling half-consumed in the executor. Skipped on the wait_for
+            # timeout path, where a next() is still in flight and the
+            # done-callback above owns the close.
+            if not timed_out:
+                await loop.run_in_executor(executor, gen.close)
+        except Exception:
+            # One bad sentence (e.g. context grown past the model window)
+            # must not take down the whole pipeline — log and move on.
+            logger.exception("TTS failed for segment; skipping")
+        finally:
+            state.tts_speaking = False
         state.cooldown_until = time.monotonic() + COOLDOWN_S
         if interrupted:
-            # flush queued sentences from this response
+            # flush queued sentences from this response; if its END hasn't
+            # arrived yet, discard stragglers as they come in
+            state.discard_response = True
             while not state.llm_out_q.empty():
                 item = state.llm_out_q.get_nowait()
                 if item == LLM_RESPONSE_END:
+                    state.discard_response = False
                     break
             state.interruption.clear()
             continue

@@ -36,9 +36,11 @@ No counterpart exists in the reference (cited scope:
 from __future__ import annotations
 
 import asyncio
+import collections
 import io
 import json
 import struct
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Sequence, Tuple
@@ -60,7 +62,10 @@ class _Pending:
 class ServerStats:
     requests: int = 0
     batches: int = 0
-    batch_sizes: List[int] = field(default_factory=list)
+    # bounded: a long-running server must not grow (or ship via /stats) an
+    # unbounded history
+    batch_sizes: collections.deque = field(
+        default_factory=lambda: collections.deque(maxlen=256))
     generate_seconds: float = 0.0
     audio_seconds: float = 0.0
 
@@ -111,6 +116,12 @@ class TTSServer:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # Resolve requests still waiting in the queue — callers blocked on
+        # `await fut` must never hang past a server stop.
+        while not self._queue.empty():
+            p = self._queue.get_nowait()
+            if not p.future.done():
+                p.future.set_exception(RuntimeError("TTS server stopped"))
 
     async def synthesize(self, text: str, speaker: int = 0,
                          context: Sequence = ()) -> np.ndarray:
@@ -134,6 +145,7 @@ class TTSServer:
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
         done = object()
+        stop = threading.Event()  # set when the consumer goes away
 
         def run() -> float:
             t0 = time.monotonic()
@@ -142,6 +154,8 @@ class TTSServer:
                         self.model, text, speaker, context,
                         max_audio_length_ms=self.max_audio_length_ms,
                         temperature=self.temperature, sampler=self.sampler):
+                    if stop.is_set():
+                        break  # client disconnected: stop dispatching frames
                     loop.call_soon_threadsafe(
                         q.put_nowait, np.asarray(chunk, dtype=np.float32))
             except Exception as exc:
@@ -150,8 +164,28 @@ class TTSServer:
                 loop.call_soon_threadsafe(q.put_nowait, done)
             return time.monotonic() - t0
 
-        async with self._device_lock:
+        # The device lock covers *generation* (the executor future), not
+        # consumption: chunks buffer in `q`, so a slow or stalled HTTP
+        # reader must not keep the chip idle-but-locked. The lock releases
+        # from fut's done-callback even if this generator is finalized
+        # early (client disconnect -> GeneratorExit -> stop.set()).
+        await self._device_lock.acquire()
+        released = False
+
+        def _release(_fut) -> None:
+            nonlocal released
+            if not released:
+                released = True
+                self._device_lock.release()
+
+        try:
             fut = loop.run_in_executor(None, run)
+        except BaseException:
+            _release(None)
+            raise
+        fut.add_done_callback(_release)
+
+        try:
             n_samples = 0
             while True:
                 item = await q.get()
@@ -166,6 +200,8 @@ class TTSServer:
             self.stats.requests += 1
             self.stats.generate_seconds += wall
             self.stats.audio_seconds += n_samples / SAMPLING_RATE
+        finally:
+            stop.set()
 
     async def _batcher(self) -> None:
         while True:
@@ -190,6 +226,16 @@ class TTSServer:
         speakers = [p.speaker for p in batch]
         contexts = [p.context for p in batch]
 
+        # Sharded generation requires the batch to divide evenly over the
+        # mesh "data" axis — pad by repeating the last request and slice
+        # the extra rows off afterwards.
+        if self.mesh is not None:
+            data_size = dict(self.mesh.shape).get("data", 1)
+            while len(texts) % data_size:
+                texts.append(texts[-1])
+                speakers.append(speakers[-1])
+                contexts.append(contexts[-1])
+
         def run() -> Tuple[List[np.ndarray], float]:
             t0 = time.monotonic()
             rows = generate_batch(
@@ -198,17 +244,22 @@ class TTSServer:
                 temperature=self.temperature, sampler=self.sampler,
                 watermark_key=self.watermark_key, mesh=self.mesh,
             )
-            rows = [np.asarray(r, dtype=np.float32) for r in rows]
+            rows = [np.asarray(r, dtype=np.float32)
+                    for r in rows[:len(batch)]]
             return rows, time.monotonic() - t0
 
         try:
             async with self._device_lock:
                 rows, wall = await asyncio.get_running_loop().run_in_executor(
                     None, run)
-        except Exception as exc:  # resolve every caller, never deadlock
+        except BaseException as exc:  # resolve every caller, never deadlock
             for p in batch:
                 if not p.future.done():
-                    p.future.set_exception(exc)
+                    p.future.set_exception(
+                        exc if isinstance(exc, Exception)
+                        else RuntimeError("TTS server stopped"))
+            if not isinstance(exc, Exception):
+                raise  # propagate CancelledError to actually cancel
             return
         self.stats.requests += len(batch)
         self.stats.batches += 1
@@ -268,6 +319,7 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
     readable from `.sockets[0].getsockname()`)."""
 
     async def handle(reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        streamed = False  # chunked 200 header already on the wire
         try:
             method, path, body = await _read_http_request(reader)
             if method is None:
@@ -278,7 +330,7 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                 s = server.stats
                 payload = json.dumps({
                     "requests": s.requests, "batches": s.batches,
-                    "batch_sizes": s.batch_sizes,
+                    "batch_sizes": list(s.batch_sizes),
                     "aggregate_rtf": s.aggregate_rtf,
                 }).encode()
                 writer.write(_http_response("200 OK", "application/json", payload))
@@ -286,7 +338,7 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                 try:
                     req = json.loads(body or b"{}")
                     text = req["text"]
-                except (ValueError, KeyError):
+                except (ValueError, KeyError, TypeError):
                     writer.write(_http_response(
                         "400 Bad Request", "application/json",
                         b'{"error": "body must be JSON with a \\"text\\" field"}'))
@@ -298,6 +350,7 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                         b"Content-Type: audio/L16; rate=24000\r\n"
                         b"Transfer-Encoding: chunked\r\n"
                         b"Connection: close\r\n\r\n")
+                    streamed = True
                     async for chunk in server.synthesize_stream(
                             text, int(req.get("speaker", 0))):
                         pcm = (np.clip(chunk, -1.0, 1.0)
@@ -310,7 +363,7 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                 try:
                     req = json.loads(body or b"{}")
                     text = req["text"]
-                except (ValueError, KeyError):
+                except (ValueError, KeyError, TypeError):
                     writer.write(_http_response(
                         "400 Bad Request", "application/json",
                         b'{"error": "body must be JSON with a \\"text\\" field"}'))
@@ -324,9 +377,14 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
             await writer.drain()
         except Exception as exc:
             try:
-                writer.write(_http_response(
-                    "500 Internal Server Error", "application/json",
-                    json.dumps({"error": str(exc)}).encode()))
+                if streamed:
+                    # The chunked 200 is already on the wire: a 500 body
+                    # would corrupt the framing — terminate the stream.
+                    writer.write(b"0\r\n\r\n")
+                else:
+                    writer.write(_http_response(
+                        "500 Internal Server Error", "application/json",
+                        json.dumps({"error": str(exc)}).encode()))
                 await writer.drain()
             except Exception:
                 pass

@@ -215,13 +215,21 @@ def detect_watermark(
     logm = logm - jnp.mean(logm, axis=1, keepdims=True)
 
     # Matched filter: aggregate residuals per (payload slot, bin), then
-    # correlate with the chips. The chips are the only randomness, so the
-    # null variance of r_p = Σ_b L[p,b]·C[q,b] is exactly Σ_b L[p,b]².
+    # correlate with the chips. The chips are the only randomness and are
+    # CONSTANT over each BIN_BLOCK cell, so r_p = Σ_b L[p,b]·C[q,b]
+    # = Σ_cells C_cell · (Σ_{b∈cell} L[p,b]) and its exact null variance is
+    # Σ_cells (Σ_{b∈cell} L[p,b])² — summing L² per *bin* instead would
+    # underestimate it (up to BIN_BLOCK×) on smooth spectra whose residuals
+    # correlate within a cell, inflating |z| on unwatermarked audio.
     chips = _chips(key, payload_len)                     # (P, B)
     slot = jnp.arange(n_frames) % payload_len            # (F,)
     onehot = jax.nn.one_hot(slot, payload_len, dtype=jnp.float32)  # (F, P)
     L = onehot.T @ logm                                  # (P, B)
-    v = jnp.sum(L * L, axis=1)                           # (P,) exact null var
+    n_bins = BAND_HI - BAND_LO
+    n_cells = -(-n_bins // BIN_BLOCK)
+    cell = jnp.pad(L, ((0, 0), (0, n_cells * BIN_BLOCK - n_bins))).reshape(
+        payload_len, n_cells, BIN_BLOCK).sum(axis=-1)    # (P, cells)
+    v = jnp.sum(cell * cell, axis=1)                     # (P,) exact null var
 
     # Rotation (sync) search: trimming k frames off the head moves payload
     # slot (p+k)%P into detector group p. Correlate every group against

@@ -146,6 +146,20 @@ def test_online_asr_punctuation_token_does_not_stall():
     assert "world" in text, text
 
 
+def test_online_asr_leading_punctuation_does_not_shift_alignment():
+    """A punctuation token appearing at the head of the new hypothesis must
+    consume only its own position: pairing it against a previous *word*
+    would misalign the LocalAgreement comparison and commit unagreed text."""
+    h1 = [(0.0, 0.4, "hello"), (0.4, 0.8, "world")]
+    h2 = [(0.0, 0.1, ","), (0.1, 0.4, "hello"), (0.4, 0.8, "world")]
+    proc = OnlineASRProcessor(ScriptedHypASR([h1, h2]))
+    proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
+    proc.process_iter()
+    text = proc.process_iter()
+    # 'hello world' agreed across both hypotheses; alignment not shifted
+    assert "hello" in text and "world" in text, text
+
+
 def test_online_asr_min_chunk_gating():
     proc = OnlineASRProcessor(FakeASR(), min_chunk_seconds=1.0)
     proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
@@ -399,3 +413,41 @@ def test_barge_in_fades_and_flushes():
     assert last.max() < 1.0
     # queued sentence flushed
     assert pipe.state.llm_out_q.empty()
+
+
+def test_barge_in_discards_straggler_sentences():
+    """Sentences of the interrupted response that the LLM emits *after* the
+    flush must also be dropped (until its LLM_RESPONSE_END arrives)."""
+    stt = ScriptedSTT()
+    audio_io = NullAudioIO()
+    spoken = []
+
+    def tts(text, speaker, context):
+        spoken.append(text)
+        for _ in range(40):
+            time.sleep(0.01)
+            yield np.ones(1920, dtype=np.float32)
+
+    pipe = VoiceChatPipeline(stt, echo_llm, tts, audio_io)
+
+    async def scenario():
+        run = asyncio.create_task(pipe.run_async(duration=2.5))
+        state = pipe.state
+        await state.llm_out_q.put("first sentence.")
+        deadline = time.monotonic() + 2.0
+        while not state.tts_speaking and time.monotonic() < deadline:
+            await asyncio.sleep(0.01)
+        assert state.tts_speaking, "TTS never started"
+        state.interruption.set()
+        # straggler of the SAME response arrives after the flush ran
+        await asyncio.sleep(0.6)
+        await state.llm_out_q.put("straggler sentence.")
+        await state.llm_out_q.put(LLM_RESPONSE_END)
+        # a fresh response after END must be spoken again
+        await state.llm_out_q.put("next response.")
+        await state.llm_out_q.put(LLM_RESPONSE_END)
+        await run
+
+    asyncio.run(scenario())
+    assert "straggler sentence." not in spoken, spoken
+    assert "next response." in spoken, spoken
