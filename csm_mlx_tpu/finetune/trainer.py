@@ -224,6 +224,14 @@ class CSMTrainer:
     def __init__(self, args: TrainArgs):
         self.model = args.model
         self.args = args
+        # Derived "_"-prefixed param caches (e.g. the "_resident" decoder
+        # tables from quantize_model) would go stale the moment weights
+        # update — and they break the masked-optimizer/flattening plumbing,
+        # which skips "_" keys. Training drops them (same as shard_model).
+        if isinstance(self.model.params, dict):
+            for k in [k for k in self.model.params
+                      if isinstance(k, str) and k.startswith("_")]:
+                del self.model.params[k]
         self.optimizer = self._wrap_optimizer(args.optimizer)
         self.opt_state_ref: Dict[str, Any] = {
             "opt_state": self.optimizer.init(self.model.params)
@@ -244,7 +252,7 @@ class CSMTrainer:
             self.opt_state_ref["opt_state"] = jax.device_put(
                 self.opt_state_ref["opt_state"], rep
             )
-        self._step_fns: Dict[Any, Callable] = {}
+        self._step_fn: Optional[Callable] = None
         self._rng = jax.random.PRNGKey(0)
 
     def _wrap_optimizer(self, opt: optax.GradientTransformation):
@@ -305,9 +313,6 @@ class CSMTrainer:
         # gradient all-reduce.
         return jax.jit(step, donate_argnums=(0, 1))
 
-    def _batch_key(self, batch) -> Any:
-        return tuple(sorted((k, v.shape) for k, v in batch.items()))
-
     def _prepare_batch(self, batch):
         if self.args.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -319,11 +324,12 @@ class CSMTrainer:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> float:
-        key = self._batch_key(batch)
-        if key not in self._step_fns:
-            self._step_fns[key] = self._build_step()
+        # One jitted step serves every batch bucket: jax.jit retraces (and
+        # caches) per input shape on its own, so no per-shape bookkeeping.
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
         self._rng, sub = jax.random.split(self._rng)
-        params, opt_state, loss, _ = self._step_fns[key](
+        params, opt_state, loss, _ = self._step_fn(
             self.model.params, self.opt_state_ref["opt_state"],
             self._prepare_batch(batch), sub,
         )
@@ -354,11 +360,17 @@ class CSMTrainer:
         if start_epoch > 0 or resume_batch_idx > 0:
             print(f"Resuming from Epoch {start_epoch + 1}, Step {start_step + 1}")
 
-        rng = np.random.RandomState(1234)
         for epoch in range(start_epoch, epochs):
             indices = np.arange(num_samples)
             if shuffle:
-                indices = rng.permutation(indices)
+                # Per-epoch seed: a mid-epoch resume recreates the SAME
+                # permutation the interrupted epoch used, so skipping the
+                # first `resume_batch_idx` batches skips exactly the data
+                # already trained. (The reference shuffles unseeded,
+                # trainer.py:405 — its resume silently double-trains some
+                # samples and drops others.)
+                indices = np.random.RandomState(1234 + epoch).permutation(
+                    indices)
             batch_indices = [
                 indices[i : i + batch_size].tolist()
                 for i in range(0, num_samples, batch_size)
@@ -422,6 +434,15 @@ class DPOTrainer(CSMTrainer):
         if not isinstance(args, DPOArgs):
             raise TypeError("Please use `DPOArgs` instead of other trainer's "
                             "arguments.")
+        if args.decoder_loss_fraction != 1.0:
+            # Preference losses need per-sample CE over identical decoder
+            # positions across the compared forwards; subsampling would make
+            # the margins incomparable. Reject rather than silently ignore.
+            raise ValueError(
+                "decoder_loss_fraction is not supported by preference "
+                "trainers (per-sample losses must score the same decoder "
+                "positions)."
+            )
         super().__init__(args)
         self.beta = args.beta
 
@@ -465,6 +486,12 @@ class KTOTrainer(CSMTrainer):
                             "arguments.")
         if args.reference_model is None:
             raise ValueError("Reference model must be provided.")
+        if args.decoder_loss_fraction != 1.0:
+            raise ValueError(
+                "decoder_loss_fraction is not supported by preference "
+                "trainers (per-sample losses must score the same decoder "
+                "positions)."
+            )
         super().__init__(args)
         self.beta = args.beta
         self.desirable_weight = args.desirable_weight

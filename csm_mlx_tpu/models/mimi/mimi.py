@@ -289,12 +289,17 @@ class Mimi:
                 self._stream_encode_state = self.init_encode_state(
                     batch=jnp.asarray(audio).shape[0])
             state = self._stream_encode_state
+        # one compiled step per nq — a single cached closure would silently
+        # keep the first call's num_quantizers
         if self._encode_step_jit is None:
-            self._encode_step_jit = jax.jit(
-                lambda p, a, s: mimi_encode_step_fn(p, self.cfg, a, s, nq),
+            self._encode_step_jit = {}
+        if nq not in self._encode_step_jit:
+            self._encode_step_jit[nq] = jax.jit(
+                lambda p, a, s, _nq=nq: mimi_encode_step_fn(
+                    p, self.cfg, a, s, _nq),
                 donate_argnums=(2,),
             )
-        codes, new_state = self._encode_step_jit(
+        codes, new_state = self._encode_step_jit[nq](
             self.params, jnp.asarray(audio, jnp.float32), state)
         if stateful:
             self._stream_encode_state = new_state

@@ -139,6 +139,15 @@ def transformer_forward(
     """x: (B, S, D) latent sequence. Batch mode builds the sliding-window
     causal mask; streaming mode uses the ring cache."""
     b, s, _ = x.shape
+    if cache is not None and s > cache.window - cfg.sliding_window:
+        # The ring's slack over the attention window bounds the chunk size:
+        # a longer chunk would overwrite slots its own earliest queries
+        # still attend to, silently truncating their window.
+        raise ValueError(
+            f"streaming chunk of {s} tokens exceeds the ring slack "
+            f"({cache.window - cfg.sliding_window}); feed shorter chunks or "
+            f"use the batch path"
+        )
     if positions is None:
         if cache is not None:
             positions = cache.index + jnp.arange(s, dtype=jnp.int32)[None]

@@ -92,8 +92,23 @@ def linear(params: Params, x: jax.Array) -> jax.Array:
     if "dora_m" in params:
         from csm_mlx_tpu.finetune.lora import effective_weight
 
-        w = effective_weight(params)
-        y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+        if _DROPOUT_CTX["key"] is not None and "lora_dropout" in params:
+            # Training-time DoRA keeps mlx_lm's split: dropout on the
+            # adapter branch only, per-row renormalization from the clean
+            # (undropped) adapted weight.
+            w = params["weight"]
+            scale = params.get("lora_scale", 1.0)
+            adapted = w.astype(jnp.float32) + scale * (
+                params["lora_b"] @ params["lora_a"]).astype(jnp.float32)
+            norm = jnp.maximum(
+                jnp.linalg.norm(adapted, axis=-1), 1e-6)
+            gain = (params["dora_m"].astype(jnp.float32) / norm).astype(
+                x.dtype)
+            y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+            y = (y + _lora_delta(params, x).astype(y.dtype)) * gain
+        else:
+            w = effective_weight(params)
+            y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
     elif "lora_a" in params:
         w = params["weight"]
         y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))

@@ -74,15 +74,18 @@ class SamplerConfig:
         logits = logits.astype(jnp.float32)
         if self.temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # Temperature scales BEFORE the probability-mass filters, matching
+        # mlx_lm's samplers (top_p/min_p compute their nucleus over
+        # softmax(logits/temp)); filtering unscaled logits would select a
+        # different nucleus for every temperature != 1.
+        logits = logits / self.temperature
         if self.top_k > 0:
             logits = _top_k_filter(logits, self.top_k)
         if self.min_p > 0.0:
             logits = _min_p_filter(logits, self.min_p, self.min_tokens_to_keep)
         if 0.0 < self.top_p < 1.0:
             logits = _top_p_filter(logits, self.top_p, self.min_tokens_to_keep)
-        return jax.random.categorical(key, logits / self.temperature, axis=-1).astype(
-            jnp.int32
-        )
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 def make_sampler(

@@ -141,3 +141,37 @@ def test_fuse_lora_preserves_effective_weight():
     q = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
     assert "lora_a" not in q
     np.testing.assert_allclose(np.asarray(q["weight"]), want, rtol=1e-6)
+
+
+def test_dora_dropout_is_live_in_training_scope():
+    """DoRA adapters must apply lora_dropout during training (mlx_lm
+    DoRALinear semantics: dropout on the adapter branch, renormalization
+    from the clean adapted weight) — it was silently inert before."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import tiny_args
+    from csm_mlx_tpu.finetune.lora import linear_to_lora_layers
+    from csm_mlx_tpu.models.csm import CSM
+    from csm_mlx_tpu.ops.layers import linear, lora_dropout_rng
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(1))
+    linear_to_lora_layers(
+        model, config={"rank": 4, "scale": 20.0, "dropout": 0.5,
+                       "keys": ["attn"]}, use_dora=True)
+    lp = model.params["decoder"]["layers"][-1]["self_attn"]["q_proj"]
+    assert "dora_m" in lp and "lora_dropout" in lp
+    lp["lora_b"] = jax.random.normal(jax.random.PRNGKey(2),
+                                     lp["lora_b"].shape) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, lp["weight"].shape[1]))
+    y_eval = linear(lp, x)
+    with lora_dropout_rng(jax.random.PRNGKey(4)):
+        y_a = linear(lp, x)
+    with lora_dropout_rng(jax.random.PRNGKey(5)):
+        y_b = linear(lp, x)
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_eval))
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_b))
+    # inference stays deterministic
+    np.testing.assert_array_equal(np.asarray(linear(lp, x)),
+                                  np.asarray(y_eval))

@@ -91,3 +91,14 @@ def test_make_logits_processors_factory():
     assert len(procs) == 2
     procs_none = make_logits_processors()
     assert procs_none == ()
+
+
+def test_temperature_scales_before_nucleus():
+    """mlx_lm parity: top_p's nucleus is computed over softmax(logits/temp).
+    At temp=0.1 the scaled top token holds >70% of the mass, so top_p=0.7
+    keeps ONLY it; filtering unscaled logits would also keep token 1."""
+    logits = jnp.asarray([[2.0, 1.9, -10.0, -10.0]])
+    s = make_sampler(temp=0.1, top_p=0.7)
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    toks = np.asarray([int(s(k, logits)[0]) for k in keys])
+    assert (toks == 0).all(), np.unique(toks)

@@ -269,3 +269,32 @@ def test_kto_requires_reference(tmp_path):
     with pytest.raises(ValueError, match="Reference model"):
         KTOTrainer(KTOArgs(model=model, optimizer=optax.sgd(1e-3),
                            output_dir=tmp_path / "kto2"))
+
+
+def test_preference_trainers_reject_decoder_loss_fraction(tiny_model):
+    """decoder_loss_fraction subsamples decoder rows — incompatible with the
+    per-sample losses preference trainers compare, so it must be rejected
+    loudly rather than silently ignored."""
+    import optax
+    import pytest as _pytest
+
+    from csm_mlx_tpu.finetune.trainer import DPOArgs, DPOTrainer
+
+    args = DPOArgs(model=tiny_model, optimizer=optax.sgd(1e-3),
+                   output_dir="/tmp/dpo_reject_test",
+                   decoder_loss_fraction=0.5)
+    with _pytest.raises(ValueError, match="decoder_loss_fraction"):
+        DPOTrainer(args)
+
+
+def test_epoch_shuffle_is_seeded_per_epoch():
+    """Mid-epoch resume must recreate the same permutation the interrupted
+    epoch used (per-epoch seeding; the reference shuffles unseeded and
+    silently double-trains on resume)."""
+    import numpy as _np
+
+    p0a = _np.random.RandomState(1234 + 0).permutation(_np.arange(16))
+    p0b = _np.random.RandomState(1234 + 0).permutation(_np.arange(16))
+    p1 = _np.random.RandomState(1234 + 1).permutation(_np.arange(16))
+    assert (p0a == p0b).all()
+    assert not (p0a == p1).all()
