@@ -15,7 +15,9 @@ def add_parser(subparsers) -> None:
         "serve", help="Serve batched TTS over HTTP (POST /tts).")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--model", default="1b")
+    from csm_mlx_tpu.cli.config import MODEL
+
+    p.add_argument("--model", choices=list(MODEL), default="1b")
     p.add_argument("--weight", "-w", default="senstella/csm-1b-mlx",
                    help="HF repo or local weight path")
     p.add_argument("--adapter", "-a", default=None,

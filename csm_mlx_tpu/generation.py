@@ -38,7 +38,8 @@ import numpy as np
 from csm_mlx_tpu.config import LlamaConfig
 from csm_mlx_tpu.models.csm import CSM, ModelArgs, embed_audio, masked_input_embeds
 from csm_mlx_tpu.models.llama import llama_forward
-from csm_mlx_tpu.ops.attention import NEG_INF, causal_mask_bias
+from csm_mlx_tpu.ops.attention import (NEG_INF, causal_mask_bias,
+                                       key_validity_bias)
 from csm_mlx_tpu.ops.kv_cache import KVCache
 from csm_mlx_tpu.ops.layers import emb_table, linear
 from csm_mlx_tpu.ops.rope import rope_cache_for
@@ -99,9 +100,8 @@ def _prefill(
     # everything beyond the prompt (unwritten) and left-pad slots masked.
     causal = causal_mask_bias(p, cap)
     key_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] >= pad_len[:, None]
-    valid_bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
     mask_bias = jnp.maximum(
-        causal[None, None] + valid_bias[:, None, None, :], NEG_INF
+        causal[None, None] + key_validity_bias(key_valid)[:, None], NEG_INF
     )
     hidden, cache = llama_forward(
         params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias, cache
@@ -121,7 +121,7 @@ def _backbone_step(
     key_valid = (k_idx[None] >= jnp.reshape(pad_len, (-1, 1))) & (
         k_idx[None] <= cache.index
     )
-    mask_bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
+    mask_bias = key_validity_bias(key_valid)[:, None]
     hidden, cache = llama_forward(
         params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias, cache
     )
@@ -266,12 +266,13 @@ def _frame_to_next_input(frame):
 # ---------------------------------------------------------------------------
 
 
-def _resident_env_key() -> Tuple[str, str]:
-    """The env knobs _use_resident_decoder reads at trace time. Folding them
-    into the builder cache keys makes toggling them mid-process take effect
-    on the next call instead of silently reusing the old compiled loop."""
+def _resident_env_key() -> Tuple[str, ...]:
+    """The env knobs the builders read at trace time. Folding them into the
+    builder cache keys makes toggling them mid-process take effect on the
+    next call instead of silently reusing the old compiled loop."""
     return (os.environ.get("CSM_TPU_RESIDENT_DECODER", "1"),
-            os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "8"))
+            os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "8"),
+            os.environ.get("CSM_TPU_FLASH_PREFILL", "1"))
 
 
 def _env_keyed(cached_builder):
@@ -557,7 +558,14 @@ def generate_frame(
     bcfg = args.backbone_config
     s = tokens.shape[1]
     if cache is None:
-        cache = KVCache.init(bcfg, tokens.shape[0], s, dtype=model.dtype)
+        # Full-window capacity: the documented frame-loop idiom threads the
+        # returned state back in, so the cache must hold decode steps past
+        # the prompt (a capacity of exactly `s` would make update_layer's
+        # dynamic_update_slice clamp and silently overwrite the last
+        # prompt slot on every subsequent frame).
+        capacity = max(bcfg.max_position_embeddings or 2048, s)
+        cache = KVCache.init(bcfg, tokens.shape[0], capacity,
+                             dtype=model.dtype)
     if pad_len is None:
         pad_len = jnp.zeros((tokens.shape[0],), dtype=jnp.int32)
 
@@ -769,7 +777,10 @@ def stream_generate(
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
-    codec = get_audio_tokenizer(n_audio_codebooks=model.n_audio_codebooks)
+    # positional call: functools.cache keys positional vs keyword calls
+    # differently, and tokenize_audio/decode_audio call positionally — a
+    # keyword call here would build a SECOND full Mimi instance
+    codec = get_audio_tokenizer(model.n_audio_codebooks)
     dec_state = codec.init_decode_state()
 
     frame, cache, key, history = first_fn(

@@ -114,3 +114,33 @@ def test_repetition_penalty_changes_output(tiny_model):
     # (greedy without penalty tends to repeat on a random-init model).
     if len(base) > 1 and (base[1:, 0] == base[0, 0]).any():
         assert not np.array_equal(base[:, 0], pen[:, 0])
+
+
+def test_generate_frame_default_cache_has_decode_headroom(tiny_model):
+    """The documented stateful frame-loop idiom with the DEFAULT cache must
+    match the fused loop: a default capacity of exactly the prompt length
+    would clamp update_layer's write index and silently clobber the last
+    prompt KV slot on every frame."""
+    from csm_mlx_tpu.generation import generate_frame
+
+    args = tiny_model.args
+    prompt, mask = _prompt(args, 5, seed=11)
+    fused, n = generate_tokens(tiny_model, prompt, mask, 3, temperature=0.0)
+
+    state = generate_frame(
+        tiny_model, jnp.asarray(prompt[None]),
+        token_mask=jnp.asarray(mask[None]),
+        temperature=0.0, return_state=True)
+    frame, cache, key, history = state
+    assert cache.capacity > prompt.shape[0]  # decode headroom
+    frames = [np.asarray(frame)[0]]
+    for _ in range(n - 1):
+        zeros = jnp.zeros((1, 1), dtype=frame.dtype)
+        nxt = jnp.concatenate([frame, zeros], axis=1)[:, None, :]
+        nmask = jnp.concatenate([jnp.ones_like(frame), zeros],
+                                axis=1)[:, None, :]
+        frame, cache, key, history = generate_frame(
+            tiny_model, nxt, token_mask=nmask, temperature=0.0,
+            cache=cache, key=key, history=history, return_state=True)
+        frames.append(np.asarray(frame)[0])
+    np.testing.assert_array_equal(np.stack(frames), fused[:n])
