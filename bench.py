@@ -69,7 +69,7 @@ def main() -> None:
         mode = os.environ.get("BENCH_QUANT_MODE", "w8a8")
         targets = tuple(os.environ.get(
             "BENCH_QUANT_TARGETS",
-            "backbone,decoder,projection,codebook0_head").split(","))
+            "backbone,decoder,projection").split(","))
         quantize_model(model, bits=quant_bits,
                        group_size=int(os.environ.get("BENCH_QUANT_GROUP", "64")),
                        mode=mode, targets=targets)

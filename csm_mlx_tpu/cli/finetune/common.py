@@ -65,7 +65,7 @@ def build_optimizer(name: str, learning_rate: float, weight_decay: float):
 def load_model(args: argparse.Namespace) -> CSM:
     print("Initializing model...")
     model_config = MODEL[args.model]
-    csm_model = CSM(model_config["config"])
+    csm_model = CSM(model_config["config"], init=False)
     if args.pretrained_path:
         print(f"Loading pretrained weights from {args.pretrained_path}")
         csm_model.load_weights(str(args.pretrained_path))

@@ -114,7 +114,7 @@ def run(args: argparse.Namespace) -> None:
     adapter = parse_adapter_argument(args.adapter)
 
     print("Loading model...")
-    csm = CSM(model_config["config"])
+    csm = CSM(model_config["config"], init=False)
     csm.load_weights(weight)
     if adapter is not None:
         load_adapters(csm, adapter)

@@ -73,6 +73,12 @@ class CSMDataset:
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._cache_enabled = cache_tokenization
 
+    # Subclasses override only the per-item parser; the JSON-load plumbing
+    # and constructor-kwarg threading live here once.
+    @staticmethod
+    def _parse_item(item):
+        return _segments_from_json(item)
+
     @classmethod
     def from_json(
         cls,
@@ -81,11 +87,11 @@ class CSMDataset:
         max_audio_length_ms: Optional[int] = None,
         mask_speaker_ids: Optional[int | List[int]] = None,
         **kwargs,
-    ) -> "CSMDataset":
+    ):
         with open(json_path, "r") as f:
             data = json.load(f)
-        samples = [_segments_from_json(conv) for conv in data]
-        return cls(samples, n_audio_codebooks=n_audio_codebooks,
+        return cls([cls._parse_item(item) for item in data],
+                   n_audio_codebooks=n_audio_codebooks,
                    max_audio_length_ms=max_audio_length_ms,
                    mask_speaker_ids=mask_speaker_ids, **kwargs)
 
@@ -132,20 +138,10 @@ class CSMPairwiseDataset(CSMDataset):
         super().__init__([], **kwargs)
         self.pairs = pairs
 
-    @classmethod
-    def from_json(cls, json_path: str, n_audio_codebooks: int = 32,
-                  max_audio_length_ms: Optional[int] = None,
-                  mask_speaker_ids=None, **kwargs) -> "CSMPairwiseDataset":
-        with open(json_path, "r") as f:
-            data = json.load(f)
-        pairs = [
-            (_segments_from_json(item["chosen"]),
-             _segments_from_json(item["rejected"]))
-            for item in data
-        ]
-        return cls(pairs, n_audio_codebooks=n_audio_codebooks,
-                   max_audio_length_ms=max_audio_length_ms,
-                   mask_speaker_ids=mask_speaker_ids, **kwargs)
+    @staticmethod
+    def _parse_item(item):
+        return (_segments_from_json(item["chosen"]),
+                _segments_from_json(item["rejected"]))
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -183,19 +179,10 @@ class CSMPointwiseDataset(CSMDataset):
         super().__init__([], **kwargs)
         self.entries = entries
 
-    @classmethod
-    def from_json(cls, json_path: str, n_audio_codebooks: int = 32,
-                  max_audio_length_ms: Optional[int] = None,
-                  mask_speaker_ids=None, **kwargs) -> "CSMPointwiseDataset":
-        with open(json_path, "r") as f:
-            data = json.load(f)
-        entries = [
-            (_segments_from_json(item["segments"]), int(item["preference"]))
-            for item in data
-        ]
-        return cls(entries, n_audio_codebooks=n_audio_codebooks,
-                   max_audio_length_ms=max_audio_length_ms,
-                   mask_speaker_ids=mask_speaker_ids, **kwargs)
+    @staticmethod
+    def _parse_item(item):
+        return (_segments_from_json(item["segments"]),
+                int(item["preference"]))
 
     def __len__(self) -> int:
         return len(self.entries)

@@ -147,6 +147,7 @@ class CSM:
         params: Optional[Params] = None,
         dtype=jnp.bfloat16,
         rng: Optional[jax.Array] = None,
+        init: bool = True,
     ):
         self.args = args
         self.n_text_vocab = args.n_text_vocab
@@ -155,7 +156,10 @@ class CSM:
         self.n_backbone_embedding = args.backbone_dim
         self.n_decoder_embedding = args.decoder_dim
         self.dtype = dtype
-        if params is None:
+        if params is None and init:
+            # `init=False` skips the multi-GB random draw for callers that
+            # load a full checkpoint immediately (the CLI paths) — a strict
+            # load replaces the whole tree anyway.
             params = init_csm_params(
                 rng if rng is not None else jax.random.PRNGKey(0), args, dtype
             )

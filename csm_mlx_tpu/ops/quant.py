@@ -381,8 +381,7 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
                    group_size: int = DEFAULT_GROUP_SIZE,
                    min_size: int = 1 << 16,
                    mode: str = "affine",
-                   targets=("backbone", "decoder", "projection",
-                            "codebook0_head"),
+                   targets=("backbone", "decoder", "projection"),
                    fuse: bool = True) -> None:
     """Quantize large Linear weights in model.params in place.
 
@@ -398,7 +397,12 @@ def quantize_model(model, bits: int = DEFAULT_BITS,
     HBM traffic (the 31-step inner loop re-reads them per frame, SURVEY.md
     §6), so ("decoder", "projection") alone captures most of the win at a
     fraction of the (remote-Mosaic) compile cost. Embeddings and norms are
-    never quantized (their reads are row-gathers, not matmuls).
+    never quantized (their reads are row-gathers, not matmuls), and
+    `codebook0_head` is OFF by default: its 2051-row output dim fails the
+    Pallas kernel's 128-alignment gate, so quantizing it only buys the XLA
+    dequant fallback's extra HBM traffic plus quantization error — the
+    bf16 head is both faster and exact. (audio_head solves this by padding
+    the vocab, see quantize_audio_head.)
 
     Quantized dicts are served directly by `ops.layers.linear`, which
     dispatches on the presence of `weight_q` — no patching or registration.

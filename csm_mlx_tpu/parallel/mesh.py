@@ -120,11 +120,33 @@ def data_parallel_spec(batch: Any) -> Any:
     return jax.tree.map(lambda x: P("data"), batch)
 
 
+def _spec_fits(x, spec: P, mesh: Mesh) -> bool:
+    """True iff every sharded dim of x divides the mesh axes assigned to it
+    (jax.device_put rejects uneven shards)."""
+    sizes = dict(mesh.shape)
+    for dim, axes in enumerate(spec):
+        if axes is None:
+            continue
+        axes = (axes,) if isinstance(axes, str) else tuple(axes)
+        div = 1
+        for a in axes:
+            div *= sizes.get(a, 1)
+        if dim >= getattr(x, "ndim", 0) or x.shape[dim] % div != 0:
+            return False
+    return True
+
+
 def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
-    """device_put params with NamedShardings from the rules."""
+    """device_put params with NamedShardings from the rules.
+
+    Tensors whose sharded dims don't divide the mesh axis (e.g. the
+    2051-wide vocab heads on a model axis of 4) fall back to replication —
+    an odd vocab must not make tensor parallelism unusable."""
     specs = csm_param_spec(params, tensor_parallel)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, s if _spec_fits(x, s, mesh) else P())),
+        params, specs,
     )
 
 

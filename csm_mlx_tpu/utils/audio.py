@@ -120,7 +120,12 @@ def read_audio(audio_path, sampling_rate: int = 24000) -> np.ndarray:
             data = np.ctypeslib.as_array(out, shape=(total,)).copy()
             lib.free_buffer(out)
             if info.channels > 1:
-                data = data.reshape(-1, info.channels).mean(axis=1)
+                # native mixdown (f64 accumulation per frame)
+                mono = np.empty(int(info.frames), dtype=np.float32)
+                lib.mixdown(_f32p(np.ascontiguousarray(data)),
+                            int(info.frames), int(info.channels),
+                            _f32p(mono))
+                data = mono
             return resample(data, int(info.sample_rate), sampling_rate)
     # stdlib fallback (PCM16/PCM32 WAV only)
     import wave

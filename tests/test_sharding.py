@@ -131,3 +131,26 @@ def test_data_parallel_train_step():
         batch = _batch(model.args, b=8, s=6)
         loss = trainer.train_step(batch)
         assert np.isfinite(loss)
+
+
+def test_shard_params_indivisible_vocab_replicates():
+    """The real CSM-1B vocab (2051) divides no model-axis size: sharding
+    must fall back to replication for those tensors instead of raising
+    (jax.device_put rejects uneven shards)."""
+    from conftest import tiny_args as _tiny
+
+    args = _tiny()
+    args = type(args)(backbone_name=args.backbone_name,
+                      decoder_name=args.decoder_name,
+                      n_text_vocab=args.n_text_vocab,
+                      n_audio_vocab=51,  # prime-ish: not divisible by 2 or 4
+                      n_audio_codebooks=args.n_audio_codebooks)
+    model = CSM(args, dtype=jnp.float32, rng=jax.random.PRNGKey(5))
+    mesh = create_mesh({"data": 2, "model": 4})
+    sharded = shard_params(model.params, mesh, tensor_parallel=True)  # no raise
+    spec = sharded["codebook0_head"]["weight"].sharding.spec
+    assert all(s is None for s in spec), spec  # replicated fallback
+    # evenly divisible tensors stay tensor-sharded
+    qspec = sharded["backbone"]["layers"][0]["self_attn"]["q_proj"][
+        "weight"].sharding.spec
+    assert qspec[0] == "model", qspec
