@@ -21,6 +21,7 @@ from csm_mlx_tpu.generation import (
     generate,
     generate_batch,
     generate_frame,
+    generate_long,
     stream_generate,
 )
 from csm_mlx_tpu.ops.quant import quantize_model as quantize
@@ -35,6 +36,7 @@ __all__ = [
     "generate",
     "generate_batch",
     "generate_frame",
+    "generate_long",
     "stream_generate",
     "quantize",
     "Segment",

@@ -84,6 +84,14 @@ def add_parser(subparsers) -> None:
     p.add_argument("--watermark-key", type=int, default=None,
                    help="Embed a keyed spread-spectrum watermark in the "
                         "output (verify with csm_mlx_tpu.detect_watermark)")
+    p.add_argument("--long", action="store_true",
+                   help="Long-form mode: split the text into sentences and "
+                        "synthesize each with a rolling voice context — "
+                        "text length is not bound by the model context "
+                        "window (--max-audio-length then caps each "
+                        "sentence, not the total)")
+    p.add_argument("--pause-ms", type=float, default=0.0,
+                   help="Silence inserted between sentences in --long mode")
     p.set_defaults(func=run)
 
 
@@ -127,8 +135,17 @@ def run(args: argparse.Namespace) -> None:
 
     print("Inferencing...")
     key = jax.random.PRNGKey(args.seed) if args.seed is not None else None
-    result = generate(csm, args.text, args.speaker, context,
-                      args.max_audio_length, sampler=sampler, key=key,
-                      watermark_key=args.watermark_key)
+    if args.long:
+        from csm_mlx_tpu.generation import generate_long
+
+        result = generate_long(
+            csm, args.text, args.speaker, context,
+            max_segment_audio_ms=args.max_audio_length, sampler=sampler,
+            key=key, watermark_key=args.watermark_key,
+            pause_ms=args.pause_ms)
+    else:
+        result = generate(csm, args.text, args.speaker, context,
+                          args.max_audio_length, sampler=sampler, key=key,
+                          watermark_key=args.watermark_key)
     write_audio(result, args.output, sampling_rate)
     print(f"Success! Audio saved to: {args.output}")

@@ -748,6 +748,69 @@ def generate(
     return audio
 
 
+def generate_long(
+    model: CSM,
+    text: str,
+    speaker: int,
+    context: Sequence = (),
+    *,
+    max_segment_audio_ms: float = 30_000,
+    rolling_context: int = 6,
+    temperature: float = 0.8,
+    sampler: Optional[Any] = None,
+    key: Optional[jax.Array] = None,
+    watermark_key: Optional[int] = None,
+    pause_ms: float = 0.0,
+) -> jax.Array:
+    """Long-form synthesis past the model's context window.
+
+    `generate` (like the reference, generation.py:131-137) refuses prompts
+    near `max_position_embeddings`, capping one call at ~2 minutes of
+    conversation. This splits `text` into sentences, synthesizes each with a
+    rolling window of the last `rolling_context` generated segments as
+    conversational context — the voice-continuity recipe the streaming demo
+    uses (run_streaming_csm_mlx.py:1060-1073) — and concatenates. Arbitrary
+    text length; voice identity carries through the rolling context.
+
+    `pause_ms` inserts silence between sentences. Watermarking is applied
+    once over the stitched waveform (whole-utterance STFT framing).
+    """
+    from csm_mlx_tpu.apps.voice_chat import split_sentences
+    from csm_mlx_tpu.segment import Segment
+
+    sentences = split_sentences(text) or ([text.strip()] if text.strip() else [])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ctx = list(context)
+    pieces = []
+    from csm_mlx_tpu.segment import SAMPLING_RATE
+
+    gap = (np.zeros((int(pause_ms * SAMPLING_RATE / 1000),), np.float32)
+           if pause_ms > 0 else None)
+    for i, sentence in enumerate(sentences):
+        key, sub = jax.random.split(key)
+        audio = generate(
+            model, sentence, speaker, tuple(ctx),
+            max_audio_length_ms=max_segment_audio_ms,
+            temperature=temperature, sampler=sampler, key=sub,
+        )
+        if audio.shape[0] == 0:
+            continue
+        pieces.append(np.asarray(audio, np.float32))
+        if gap is not None and i + 1 < len(sentences):
+            pieces.append(gap)
+        ctx.append(Segment(speaker, sentence, np.asarray(audio, np.float32)))
+        ctx = ctx[-rolling_context:]
+    if not pieces:
+        return jnp.zeros((0,), dtype=jnp.float32)
+    out = jnp.asarray(np.concatenate(pieces))
+    if watermark_key is not None:
+        from csm_mlx_tpu.watermark import embed_watermark
+
+        out = embed_watermark(out, watermark_key)
+    return out
+
+
 def stream_generate(
     model: CSM,
     text: str,
