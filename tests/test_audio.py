@@ -73,3 +73,40 @@ def test_stereo_mixdown(tmp_path):
     assert rc == 0
     y = read_audio(path, sr)
     np.testing.assert_allclose(y, np.full(100, 0.25), atol=2e-4)
+
+
+def test_malformed_wavs_never_crash(tmp_path):
+    """Truncated/garbage WAVs must raise Python errors (or be rejected by
+    the native parser's bounds checks), never segfault. Covers the fmt-chunk
+    overread class (ADVICE r1: chunk_len past EOF)."""
+    import numpy as np
+
+    from csm_mlx_tpu.utils.audio import read_audio, write_audio
+
+    good = tmp_path / "good.wav"
+    write_audio(np.zeros(2400, np.float32), good, 24000)
+    blob = bytearray(good.read_bytes())
+
+    cases = {
+        "truncated": bytes(blob[: len(blob) // 3]),
+        "fmt_len_overflow": bytes(
+            blob[:16] + (0x7FFFFFF0).to_bytes(4, "little") + blob[20:40]),
+        "garbage": bytes(np.random.RandomState(0).bytes(256)),
+        "empty": b"",
+        "riff_only": b"RIFF\x00\x00\x00\x00WAVE",
+    }
+    rng = np.random.RandomState(1)
+    for i in range(20):  # random corruptions of a valid file
+        b = bytearray(blob)
+        for _ in range(8):
+            b[rng.randint(0, len(b))] = rng.randint(0, 256)
+        cases[f"fuzz{i}"] = bytes(b)
+
+    for name, payload in cases.items():
+        p = tmp_path / f"{name}.wav"
+        p.write_bytes(payload)
+        try:
+            out = read_audio(p, 24000)
+            assert out.ndim == 1  # parsed despite corruption: fine
+        except Exception:
+            pass  # Python-level rejection is the required behavior
