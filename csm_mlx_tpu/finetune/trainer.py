@@ -66,6 +66,7 @@ class TrainArgs:
     learning_rate: Optional[float] = None  # for state reporting only
     mesh: Optional[Any] = None  # jax.sharding.Mesh for data parallelism
     trainable_filter: Optional[Callable[[str], bool]] = None  # LoRA masking
+    checkpoint_backend: str = "safetensors"  # or "orbax" (async saves)
 
 
 @dataclass
@@ -117,7 +118,28 @@ class History:
 # ---------------------------------------------------------------------------
 
 
+def _merge_tree(dst: Any, src: Any) -> None:
+    """Recursively overwrite dst's leaves with src's (partial checkpoints:
+    keys absent from src keep their current values)."""
+    for k, v in src.items():
+        cur = dst.get(k)
+        if isinstance(v, dict) and isinstance(cur, dict):
+            _merge_tree(cur, v)
+        elif isinstance(cur, list) and isinstance(v, (list, dict)):
+            items = v.items() if isinstance(v, dict) else enumerate(v)
+            for i, item in items:
+                _merge_tree(cur[int(i)], item)
+        else:
+            dst[k] = v
+
+
 class CheckpointManager:
+    """File-layout parity with the reference (trainer.py:95-173) by default
+    (`backend="safetensors"`); `backend="orbax"` swaps the tensor IO for
+    orbax's ASYNC checkpointer — saves overlap training (the TPU-idiomatic
+    choice for large runs; SURVEY.md §5.4), with the same `step_N/` + run
+    root layout and the identical `trainer_state.json` resume schema."""
+
     def __init__(
         self,
         model: CSM,
@@ -127,6 +149,7 @@ class CheckpointManager:
         checkpoint_dir: Path,
         only_save_trainable_params: bool = False,
         trainable_filter: Optional[Callable[[str], bool]] = None,
+        backend: str = "safetensors",
     ):
         self.model = model
         self.opt_state_ref = opt_state_ref  # {"opt_state": pytree}
@@ -135,6 +158,15 @@ class CheckpointManager:
         self.dir = Path(checkpoint_dir)
         self.only_save_trainable_params = only_save_trainable_params
         self.trainable_filter = trainable_filter
+        if backend not in ("safetensors", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
+        self.backend = backend
+        self._orbax = None
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
         os.makedirs(self.dir, exist_ok=True)
 
     def _weights_flat(self) -> Dict[str, np.ndarray]:
@@ -155,13 +187,30 @@ class CheckpointManager:
         return {f"opt.{i}": np.asarray(l) for i, l in enumerate(leaves)}
 
     def save(self):
-        from safetensors.numpy import save_file
-
         suffix = f"step_{self.state.step}"
         trainer_state = {
             "trainer_state": asdict(self.state),
             "history": self.history.state,
         }
+        if self.backend == "orbax":
+            self.wait()  # one in-flight async save at a time
+            payload = {"weights": self._weights_flat()}
+            opt = self._opt_flat()
+            if opt:
+                payload["opt"] = opt
+            for root in (self.dir / suffix, self.dir):
+                os.makedirs(root, exist_ok=True)
+                import orbax.checkpoint as ocp
+
+                self._orbax.save(
+                    (root / "orbax").absolute(),
+                    args=ocp.args.StandardSave(payload), force=True)
+                with open(root / "trainer_state.json", "w") as f:
+                    json.dump(trainer_state, f, indent=2)
+            print(f"Saved checkpoint (step {self.state.step}, orbax async)")
+            return
+        from safetensors.numpy import save_file
+
         for root in (self.dir / suffix, self.dir):
             os.makedirs(root, exist_ok=True)
             save_file(self._weights_flat(), str(root / "latest.safetensors"))
@@ -172,30 +221,62 @@ class CheckpointManager:
                 json.dump(trainer_state, f, indent=2)
         print(f"Saved checkpoint (step {self.state.step})")
 
+    def wait(self):
+        """Block until any in-flight async (orbax) save has committed."""
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
+
+    def _restore_opt(self, flat: Dict[str, Any]) -> None:
+        """Rebuild the optimizer-state pytree from `opt.{i}` array entries
+        (same array-leaf enumeration as _opt_flat)."""
+        leaves, treedef = jax.tree.flatten(self.opt_state_ref["opt_state"])
+        new_leaves = []
+        j = 0
+        for leaf in leaves:
+            if hasattr(leaf, "shape"):
+                new_leaves.append(jnp.asarray(flat[f"opt.{j}"],
+                                              dtype=leaf.dtype))
+                j += 1
+            else:
+                new_leaves.append(leaf)
+        self.opt_state_ref["opt_state"] = jax.tree.unflatten(
+            treedef, new_leaves)
+
+    def _load_orbax(self):
+        path = (self.dir / "orbax").absolute()
+        if self._orbax is None or not path.exists():
+            return None
+        return self._orbax.restore(path)
+
     def load(self):
         weights_path = self.dir / "latest.safetensors"
         state_path = self.dir / "trainer_state.json"
         opt_path = self.dir / "optimizer_state.safetensors"
 
-        if weights_path.exists():
+        restored = self._load_orbax()
+        if restored is not None:
+            from csm_mlx_tpu.loaders import flat_to_tree
+
+            tree = flat_to_tree({k: jnp.asarray(v)
+                                 for k, v in restored["weights"].items()})
+            if self.model.params is None:
+                self.model.params = tree
+            else:
+                _merge_tree(self.model.params, tree)
+            print(f"Loaded latest run weights from {self.dir / 'orbax'}")
+            if "opt" in restored and \
+                    self.opt_state_ref.get("opt_state") is not None:
+                self._restore_opt(restored["opt"])
+                print("Loaded optimizer state (orbax)")
+        elif weights_path.exists():
             self.model.load_weights(str(weights_path), strict=False)
             print(f"Loaded latest run weights from {weights_path}")
 
-        if opt_path.exists() and self.opt_state_ref.get("opt_state") is not None:
+        if restored is None and opt_path.exists() and \
+                self.opt_state_ref.get("opt_state") is not None:
             from safetensors.numpy import load_file
 
-            flat = load_file(str(opt_path))
-            leaves, treedef = jax.tree.flatten(self.opt_state_ref["opt_state"])
-            new_leaves = []
-            j = 0
-            for leaf in leaves:
-                if hasattr(leaf, "shape"):
-                    new_leaves.append(jnp.asarray(flat[f"opt.{j}"],
-                                                  dtype=leaf.dtype))
-                    j += 1
-                else:
-                    new_leaves.append(leaf)
-            self.opt_state_ref["opt_state"] = jax.tree.unflatten(treedef, new_leaves)
+            self._restore_opt(load_file(str(opt_path)))
             print(f"Loaded optimizer state from {opt_path}")
 
         if state_path.exists():
@@ -241,7 +322,7 @@ class CSMTrainer:
         self.checkpointer = CheckpointManager(
             self.model, self.opt_state_ref, self.state, self.history,
             args.output_dir, args.only_save_trainable_params,
-            args.trainable_filter,
+            args.trainable_filter, backend=args.checkpoint_backend,
         )
         self.checkpointer.load()
         if args.mesh is not None:
@@ -409,6 +490,7 @@ class CSMTrainer:
             self.state.epoch = epoch + 1
             print(f"Completed Epoch {epoch + 1}. Saving checkpoint.")
             self.checkpointer.save()
+        self.checkpointer.wait()  # commit any in-flight async (orbax) save
         return self.history
 
 

@@ -298,3 +298,35 @@ def test_epoch_shuffle_is_seeded_per_epoch():
     p1 = _np.random.RandomState(1234 + 1).permutation(_np.arange(16))
     assert (p0a == p0b).all()
     assert not (p0a == p1).all()
+
+
+def test_checkpoint_orbax_backend_save_and_resume(tmp_path):
+    """checkpoint_backend='orbax': async tensor IO, same step_N/run-root
+    layout and trainer_state.json resume schema as the safetensors path."""
+    out = tmp_path / "orbax_run"
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(2))
+    args = TrainArgs(model=model, optimizer=optax.adam(1e-3), output_dir=out,
+                     ckpt_freq=1, log_freq=1, learning_rate=1e-3,
+                     checkpoint_backend="orbax")
+    trainer = CSMTrainer(args)
+    ds = _fake_ds(model.args)
+    trainer.train(ds, batch_size=2, epochs=1, shuffle=False)
+    step_after = trainer.state.step
+    assert (out / "orbax").exists()
+    assert (out / "trainer_state.json").exists()
+    assert (out / f"step_{step_after}" / "orbax").exists()
+
+    model2 = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(99))
+    trainer2 = CSMTrainer(TrainArgs(
+        model=model2, optimizer=optax.adam(1e-3), output_dir=out,
+        learning_rate=1e-3, checkpoint_backend="orbax"))
+    assert trainer2.state.step == step_after
+    assert trainer2.state.epoch == 1
+    np.testing.assert_allclose(
+        np.asarray(model2.params["projection"]["weight"]),
+        np.asarray(model.params["projection"]["weight"]), rtol=1e-6,
+    )
+    # optimizer state restored too (adam mu exists and is finite)
+    leaves = [l for l in jax.tree.leaves(trainer2.opt_state_ref["opt_state"])
+              if hasattr(l, "shape")]
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
