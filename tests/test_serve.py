@@ -209,3 +209,42 @@ def test_wav_bytes_layout():
     import struct
 
     assert struct.unpack("<I", data[24:28])[0] == 24000
+
+
+def test_soak_concurrent_streams_and_batches(offline_tokenizers, model):
+    """Soak the device-lock logic: interleaved streaming and batched
+    requests, plus one stream abandoned mid-flight (disconnect), must all
+    complete — the lock releases when *generation* finishes, never held
+    hostage by a consumer (the round-2 hardening's contract)."""
+    async def main():
+        server = TTSServer(model, max_batch=4, max_wait_ms=20,
+                           max_audio_length_ms=400, temperature=0.0)
+
+        async def one_stream(abandon=False):
+            chunks = 0
+            agen = server.synthesize_stream("soak stream", speaker=0)
+            async for chunk in agen:
+                chunks += 1
+                if abandon:
+                    await agen.aclose()  # simulated client disconnect
+                    return -1
+            return chunks
+
+        results = await asyncio.gather(
+            one_stream(abandon=True),
+            *[server.synthesize(f"soak batch {i}") for i in range(6)],
+            one_stream(),
+            *[server.synthesize(f"soak batch {i + 6}") for i in range(3)],
+            one_stream(),
+        )
+        await server.stop()
+        assert not server._device_lock.locked()
+        return server, results
+
+    server, results = asyncio.run(main())
+    streams = [r for r in results if isinstance(r, int)]
+    waves = [r for r in results if isinstance(r, np.ndarray)]
+    assert -1 in streams                      # the abandoned stream exited
+    assert sum(1 for s in streams if s > 0) == 2  # full streams got chunks
+    assert len(waves) == 9 and all(w.size > 0 for w in waves)
+    assert server.stats.requests >= 11
