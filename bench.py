@@ -153,18 +153,16 @@ def main() -> None:
         total_audio = float(np.sum(nb)) / 12.5
         rtf_batch = total_audio / tb
 
-    # ---- p50 first-chunk latency (streaming path) ----
+    # ---- p50 first-chunk latency (streaming path, fused codec step) ----
     first_fn, step_fn = _build_stream_fns(args, sampler, (), bucket,
-                                          max_frames, "bfloat16")
+                                          max_frames, "bfloat16", mimi.cfg)
     lat = []
-    dec_state0 = mimi.init_decode_state()
     for i in range(5):
-        dec_state = jax.tree.map(jnp.copy, dec_state0)
+        dec_state = mimi.init_decode_state()
         t0 = time.perf_counter()
-        frame, cache, k2, hist = first_fn(model.params, t_j, m_j, p_j,
-                                          jax.random.PRNGKey(i))
-        chunk, dec_state = mimi.decode_step(
-            jnp.asarray(np.asarray(frame).T[None]), dec_state)
+        frame, chunk, dec_state, cache, k2, hist = first_fn(
+            model.params, t_j, m_j, p_j, jax.random.PRNGKey(i),
+            mimi.params, dec_state)
         np.asarray(chunk)
         lat.append(time.perf_counter() - t0)
     p50_first_chunk_ms = float(np.percentile(lat[1:], 50) * 1000)

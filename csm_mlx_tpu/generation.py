@@ -280,8 +280,8 @@ def _env_keyed(cached_builder):
     cache key; preserves .cache_clear() for tests/benchmarks."""
 
     @functools.wraps(cached_builder)
-    def wrapper(*a):
-        return cached_builder(*a, _resident_env_key())
+    def wrapper(*a, **kw):
+        return cached_builder(*a, _env=_resident_env_key(), **kw)
 
     wrapper.cache_clear = cached_builder.cache_clear
     return wrapper
@@ -295,7 +295,7 @@ def _build_generate_tokens_impl(
     bucket: int,
     max_frames: int,
     cache_dtype: str,
-    _env: Tuple[str, str] = None,
+    _env: Tuple[str, ...] = None,
 ):
     bcfg = args.backbone_config
     dcfg = args.decoder_config
@@ -376,9 +376,17 @@ def _build_stream_fns_impl(
     bucket: int,
     max_frames: int,
     cache_dtype: str,
-    _env: Tuple[str, str] = None,
+    mimi_cfg=None,
+    _env: Tuple[str, ...] = None,
 ):
-    """(first_frame_fn, next_frame_fn) for streaming generation."""
+    """(first_frame_fn, next_frame_fn) for streaming generation.
+
+    When `mimi_cfg` (a hashable MimiConfig) is given, each function ALSO
+    runs the Mimi incremental decode of its frame inside the same jitted
+    program and returns the 1,920-sample audio chunk: one host→device
+    dispatch per frame instead of two. Through the remote-TPU tunnel each
+    dispatch costs ~10–25 ms of latency, so fusing the codec step directly
+    improves first-chunk latency and per-frame jitter."""
     bcfg = args.backbone_config
     dcfg = args.decoder_config
     capacity = bucket + max_frames
@@ -386,7 +394,16 @@ def _build_stream_fns_impl(
     cos_d, sin_d = rope_cache_for(dcfg, args.n_audio_codebooks + 1)
     dtype = jnp.dtype(cache_dtype)
 
-    def first(params, tokens, token_mask, pad_len, key):
+    def _codec_step(mimi_params, frame, dec_state):
+        from csm_mlx_tpu.models.mimi.mimi import mimi_decode_step_fn
+
+        codes = frame[..., None].astype(jnp.int32)  # (B, K, 1)
+        chunk, dec_state = mimi_decode_step_fn(
+            mimi_params, mimi_cfg, codes, dec_state)
+        return chunk[:, 0, :], dec_state  # (B, frame_size)
+
+    def first(params, tokens, token_mask, pad_len, key,
+              mimi_params=None, dec_state=None):
         b = tokens.shape[0]
         cache = KVCache.init(bcfg, b, capacity, dtype=dtype)
         last_hidden, cache = _prefill(
@@ -397,9 +414,13 @@ def _build_stream_fns_impl(
             params, args, last_hidden, key, history, sampler, processors,
             cos_d, sin_d,
         )
-        return frame, cache, key, history
+        if mimi_cfg is None:
+            return frame, cache, key, history
+        chunk, dec_state = _codec_step(mimi_params, frame, dec_state)
+        return frame, chunk, dec_state, cache, key, history
 
-    def step(params, frame, pad_len, cache, key, history):
+    def step(params, frame, pad_len, cache, key, history,
+             mimi_params=None, dec_state=None):
         tokens, mask = _frame_to_next_input(frame)
         last_hidden, cache = _backbone_step(
             params, args, tokens, mask, pad_len, cache, cos_b, sin_b
@@ -408,11 +429,19 @@ def _build_stream_fns_impl(
             params, args, last_hidden, key, history, sampler, processors,
             cos_d, sin_d,
         )
-        return frame, cache, key, history
+        if mimi_cfg is None:
+            return frame, cache, key, history
+        chunk, dec_state = _codec_step(mimi_params, frame, dec_state)
+        return frame, chunk, dec_state, cache, key, history
 
+    if mimi_cfg is None:
+        return (
+            jax.jit(first),
+            jax.jit(step, donate_argnums=(3, 5)),
+        )
     return (
-        jax.jit(first),
-        jax.jit(step, donate_argnums=(3, 5)),
+        jax.jit(first, donate_argnums=(6,)),
+        jax.jit(step, donate_argnums=(3, 5, 7)),
     )
 
 
@@ -834,9 +863,6 @@ def stream_generate(
     smp = _resolve_sampler(temperature, sampler)
     processors = tuple(logits_processors or ())
     tokens, mask, pad_len, bucket = _pad_prompt(prompt, prompt_mask)
-    first_fn, step_fn = _build_stream_fns(
-        args, smp, processors, bucket, max_frames, _dtype_name(model.dtype)
-    )
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
 
@@ -846,24 +872,30 @@ def stream_generate(
     codec = get_audio_tokenizer(model.n_audio_codebooks)
     dec_state = codec.init_decode_state()
 
-    frame, cache, key, history = first_fn(
+    # Fused step functions: frame generation AND the Mimi incremental
+    # decode run in one jitted program per frame — halves the per-frame
+    # host dispatches (each costs ~10-25 ms through the remote-TPU tunnel).
+    first_fn, step_fn = _build_stream_fns(
+        args, smp, processors, bucket, max_frames, _dtype_name(model.dtype),
+        codec.cfg,
+    )
+    frame, chunk, dec_state, cache, key, history = first_fn(
         model.params, jnp.asarray(tokens), jnp.asarray(mask),
-        jnp.asarray(pad_len), key,
+        jnp.asarray(pad_len), key, codec.params, dec_state,
     )
     for i in range(max_frames):
         host_frame = np.asarray(frame)
         if not host_frame.any():
-            break  # EOS
-        # Dispatch the next frame before decoding/yielding the current one.
+            break  # EOS (the already-decoded chunk for this frame is moot)
+        # Dispatch the next frame (+ its codec step) before yielding.
         if i + 1 < max_frames:
-            next_frame, cache, key, history = step_fn(
-                model.params, frame, jnp.asarray(pad_len), cache, key, history
+            nxt = step_fn(
+                model.params, frame, jnp.asarray(pad_len), cache, key,
+                history, codec.params, dec_state,
             )
         else:
-            next_frame = None
-        codes = jnp.asarray(host_frame.T[None], dtype=jnp.int32)  # (1, K, 1)
-        chunk, dec_state = codec.decode_step(codes, dec_state)
-        yield chunk[0, 0]
-        if next_frame is None:
+            nxt = None
+        yield chunk[0]
+        if nxt is None:
             break
-        frame = next_frame
+        frame, chunk, dec_state, cache, key, history = nxt
