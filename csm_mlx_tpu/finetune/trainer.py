@@ -118,27 +118,17 @@ class History:
 # ---------------------------------------------------------------------------
 
 
-def _merge_tree(dst: Any, src: Any) -> None:
-    """Recursively overwrite dst's leaves with src's (partial checkpoints:
-    keys absent from src keep their current values)."""
-    for k, v in src.items():
-        cur = dst.get(k)
-        if isinstance(v, dict) and isinstance(cur, dict):
-            _merge_tree(cur, v)
-        elif isinstance(cur, list) and isinstance(v, (list, dict)):
-            items = v.items() if isinstance(v, dict) else enumerate(v)
-            for i, item in items:
-                _merge_tree(cur[int(i)], item)
-        else:
-            dst[k] = v
-
-
 class CheckpointManager:
     """File-layout parity with the reference (trainer.py:95-173) by default
     (`backend="safetensors"`); `backend="orbax"` swaps the tensor IO for
     orbax's ASYNC checkpointer — saves overlap training (the TPU-idiomatic
-    choice for large runs; SURVEY.md §5.4), with the same `step_N/` + run
-    root layout and the identical `trainer_state.json` resume schema."""
+    choice for large runs; SURVEY.md §5.4).
+
+    Orbax layout: tensors are written ONCE per save, to `step_N/orbax`
+    (orbax's tmp-dir + rename commit makes each step dir atomic); the
+    run-root `trainer_state.json` stays for observability but resume scans
+    the step dirs and uses the newest COMMITTED one — a crash during the
+    async write window simply falls back to the previous step."""
 
     def __init__(
         self,
@@ -193,20 +183,30 @@ class CheckpointManager:
             "history": self.history.state,
         }
         if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
             self.wait()  # one in-flight async save at a time
             payload = {"weights": self._weights_flat()}
             opt = self._opt_flat()
             if opt:
                 payload["opt"] = opt
-            for root in (self.dir / suffix, self.dir):
-                os.makedirs(root, exist_ok=True)
-                import orbax.checkpoint as ocp
-
-                self._orbax.save(
-                    (root / "orbax").absolute(),
-                    args=ocp.args.StandardSave(payload), force=True)
-                with open(root / "trainer_state.json", "w") as f:
-                    json.dump(trainer_state, f, indent=2)
+            # One async write, to the step dir only: orbax commits via
+            # tmp-dir rename, so step_N/orbax is all-or-nothing and resume
+            # can trust the newest committed step. The per-step json goes
+            # down first (it describes the step; a crash before the tensor
+            # commit leaves a json-only dir that load() skips). The
+            # run-root json is advisory (progress visibility).
+            step_root = self.dir / suffix
+            os.makedirs(step_root, exist_ok=True)
+            with open(step_root / "trainer_state.json", "w") as f:
+                json.dump(trainer_state, f, indent=2)
+            with open(self.dir / "trainer_state.json", "w") as f:
+                json.dump(trainer_state, f, indent=2)
+            if not (step_root / "orbax").exists():
+                # a same-step re-save (end-of-epoch right after a periodic
+                # save) would be byte-identical: keep the committed one
+                self._orbax.save((step_root / "orbax").absolute(),
+                                 args=ocp.args.StandardSave(payload))
             print(f"Saved checkpoint (step {self.state.step}, orbax async)")
             return
         from safetensors.numpy import save_file
@@ -242,53 +242,97 @@ class CheckpointManager:
         self.opt_state_ref["opt_state"] = jax.tree.unflatten(
             treedef, new_leaves)
 
-    def _load_orbax(self):
-        path = (self.dir / "orbax").absolute()
-        if self._orbax is None or not path.exists():
-            return None
-        return self._orbax.restore(path)
+    def _committed_orbax_steps(self):
+        """step_N dirs whose orbax checkpoint committed (rename is atomic),
+        newest first."""
+        out = []
+        for d in self.dir.glob("step_*"):
+            if (d / "orbax").exists() and \
+                    (d / "trainer_state.json").exists():
+                try:
+                    out.append((int(d.name.split("_", 1)[1]), d))
+                except ValueError:
+                    continue
+        return [d for _, d in sorted(out, reverse=True)]
 
-    def load(self):
-        weights_path = self.dir / "latest.safetensors"
-        state_path = self.dir / "trainer_state.json"
-        opt_path = self.dir / "optimizer_state.safetensors"
+    def _check_backend_mismatch(self):
+        """A run dir written by the other backend must fail loudly, not
+        silently resume trainer state over missing/stale weights."""
+        has_orbax = bool(list(self.dir.glob("step_*/orbax")))
+        has_st = (self.dir / "latest.safetensors").exists()
+        if self.backend == "safetensors" and has_orbax and not has_st:
+            raise ValueError(
+                f"{self.dir} holds an orbax checkpoint but the trainer was "
+                f"built with checkpoint_backend='safetensors'; pass "
+                f"checkpoint_backend='orbax' to resume it."
+            )
+        if self.backend == "orbax" and has_st and not has_orbax:
+            raise ValueError(
+                f"{self.dir} holds a safetensors checkpoint but the trainer "
+                f"was built with checkpoint_backend='orbax'; pass "
+                f"checkpoint_backend='safetensors' to resume it."
+            )
 
-        restored = self._load_orbax()
-        if restored is not None:
-            from csm_mlx_tpu.loaders import flat_to_tree
+    def _apply_trainer_state(self, state_path) -> bool:
+        if not state_path.exists():
+            return False
+        with open(state_path) as f:
+            trainer_state = json.load(f)
+        ts = trainer_state["trainer_state"]
+        self.state.step = ts["step"]
+        self.state.epoch = ts["epoch"]
+        self.state.learning_rate = ts["learning_rate"]
+        self.history.state = trainer_state["history"]
+        print(f"Loaded trainer state (step {self.state.step})")
+        return True
+
+    def _load_orbax(self) -> bool:
+        for step_dir in self._committed_orbax_steps():
+            restored = self._orbax.restore((step_dir / "orbax").absolute())
+            from csm_mlx_tpu.loaders import _merge, flat_to_tree
 
             tree = flat_to_tree({k: jnp.asarray(v)
                                  for k, v in restored["weights"].items()})
             if self.model.params is None:
                 self.model.params = tree
             else:
-                _merge_tree(self.model.params, tree)
-            print(f"Loaded latest run weights from {self.dir / 'orbax'}")
+                self.model.params = _merge(self.model.params, tree)
+            print(f"Loaded latest run weights from {step_dir / 'orbax'}")
             if "opt" in restored and \
                     self.opt_state_ref.get("opt_state") is not None:
                 self._restore_opt(restored["opt"])
                 print("Loaded optimizer state (orbax)")
-        elif weights_path.exists():
+            # trainer state from the SAME committed step dir: a crash
+            # mid-async-save leaves the run-root json a step ahead of the
+            # newest committed tensors — resuming from the step dir keeps
+            # weights and step counter consistent.
+            self._apply_trainer_state(step_dir / "trainer_state.json")
+            return True
+        return False
+
+    def load(self):
+        self._check_backend_mismatch()
+        weights_path = self.dir / "latest.safetensors"
+        state_path = self.dir / "trainer_state.json"
+        opt_path = self.dir / "optimizer_state.safetensors"
+
+        if self.backend == "orbax":
+            if not self._load_orbax():
+                print("Trainer state not found. Starting fresh training.")
+            return
+
+        if weights_path.exists():
             self.model.load_weights(str(weights_path), strict=False)
             print(f"Loaded latest run weights from {weights_path}")
 
-        if restored is None and opt_path.exists() and \
+        if opt_path.exists() and \
                 self.opt_state_ref.get("opt_state") is not None:
             from safetensors.numpy import load_file
 
             self._restore_opt(load_file(str(opt_path)))
             print(f"Loaded optimizer state from {opt_path}")
 
-        if state_path.exists():
-            with open(state_path) as f:
-                trainer_state = json.load(f)
-            ts = trainer_state["trainer_state"]
-            self.state.step = ts["step"]
-            self.state.epoch = ts["epoch"]
-            self.state.learning_rate = ts["learning_rate"]
-            self.history.state = trainer_state["history"]
-            print(f"Loaded trainer state (step {self.state.step})")
-        else:
+        if not self._apply_trainer_state(state_path):
             print("Trainer state not found. Starting fresh training.")
 
 

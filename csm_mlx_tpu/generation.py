@@ -376,17 +376,17 @@ def _build_stream_fns_impl(
     bucket: int,
     max_frames: int,
     cache_dtype: str,
-    mimi_cfg=None,
+    mimi_cfg,
     _env: Tuple[str, ...] = None,
 ):
     """(first_frame_fn, next_frame_fn) for streaming generation.
 
-    When `mimi_cfg` (a hashable MimiConfig) is given, each function ALSO
-    runs the Mimi incremental decode of its frame inside the same jitted
-    program and returns the 1,920-sample audio chunk: one host→device
-    dispatch per frame instead of two. Through the remote-TPU tunnel each
-    dispatch costs ~10–25 ms of latency, so fusing the codec step directly
-    improves first-chunk latency and per-frame jitter."""
+    `mimi_cfg` (a hashable MimiConfig) is required: each function ALSO runs
+    the Mimi incremental decode of its frame inside the same jitted program
+    and returns the 1,920-sample audio chunk — one host→device dispatch per
+    frame instead of two. Through the remote-TPU tunnel each dispatch costs
+    ~10–25 ms of latency, so fusing the codec step directly improves
+    first-chunk latency and per-frame jitter."""
     bcfg = args.backbone_config
     dcfg = args.decoder_config
     capacity = bucket + max_frames
@@ -403,7 +403,7 @@ def _build_stream_fns_impl(
         return chunk[:, 0, :], dec_state  # (B, frame_size)
 
     def first(params, tokens, token_mask, pad_len, key,
-              mimi_params=None, dec_state=None):
+              mimi_params, dec_state):
         b = tokens.shape[0]
         cache = KVCache.init(bcfg, b, capacity, dtype=dtype)
         last_hidden, cache = _prefill(
@@ -414,13 +414,11 @@ def _build_stream_fns_impl(
             params, args, last_hidden, key, history, sampler, processors,
             cos_d, sin_d,
         )
-        if mimi_cfg is None:
-            return frame, cache, key, history
         chunk, dec_state = _codec_step(mimi_params, frame, dec_state)
         return frame, chunk, dec_state, cache, key, history
 
     def step(params, frame, pad_len, cache, key, history,
-             mimi_params=None, dec_state=None):
+             mimi_params, dec_state):
         tokens, mask = _frame_to_next_input(frame)
         last_hidden, cache = _backbone_step(
             params, args, tokens, mask, pad_len, cache, cos_b, sin_b
@@ -429,16 +427,9 @@ def _build_stream_fns_impl(
             params, args, last_hidden, key, history, sampler, processors,
             cos_d, sin_d,
         )
-        if mimi_cfg is None:
-            return frame, cache, key, history
         chunk, dec_state = _codec_step(mimi_params, frame, dec_state)
         return frame, chunk, dec_state, cache, key, history
 
-    if mimi_cfg is None:
-        return (
-            jax.jit(first),
-            jax.jit(step, donate_argnums=(3, 5)),
-        )
     return (
         jax.jit(first, donate_argnums=(6,)),
         jax.jit(step, donate_argnums=(3, 5, 7)),

@@ -312,9 +312,9 @@ def test_checkpoint_orbax_backend_save_and_resume(tmp_path):
     ds = _fake_ds(model.args)
     trainer.train(ds, batch_size=2, epochs=1, shuffle=False)
     step_after = trainer.state.step
-    assert (out / "orbax").exists()
-    assert (out / "trainer_state.json").exists()
+    assert (out / "trainer_state.json").exists()  # advisory run-root json
     assert (out / f"step_{step_after}" / "orbax").exists()
+    assert (out / f"step_{step_after}" / "trainer_state.json").exists()
 
     model2 = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(99))
     trainer2 = CSMTrainer(TrainArgs(
@@ -330,3 +330,24 @@ def test_checkpoint_orbax_backend_save_and_resume(tmp_path):
     leaves = [l for l in jax.tree.leaves(trainer2.opt_state_ref["opt_state"])
               if hasattr(l, "shape")]
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    # crash-consistency: a step dir with json but NO committed orbax dir
+    # (crash during the async tensor write) must be skipped on resume
+    import shutil
+
+    fake = out / f"step_{step_after + 5}"
+    fake.mkdir()
+    shutil.copy(out / f"step_{step_after}" / "trainer_state.json",
+                fake / "trainer_state.json")
+    model3 = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(7))
+    trainer3 = CSMTrainer(TrainArgs(
+        model=model3, optimizer=optax.adam(1e-3), output_dir=out,
+        learning_rate=1e-3, checkpoint_backend="orbax"))
+    assert trainer3.state.step == step_after  # not the phantom step
+
+    # backend mismatch fails loudly instead of resuming state over
+    # missing weights
+    model4 = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(8))
+    with pytest.raises(ValueError, match="orbax"):
+        CSMTrainer(TrainArgs(model=model4, optimizer=optax.adam(1e-3),
+                             output_dir=out, learning_rate=1e-3))
