@@ -186,10 +186,6 @@ class CheckpointManager:
             import orbax.checkpoint as ocp
 
             self.wait()  # one in-flight async save at a time
-            payload = {"weights": self._weights_flat()}
-            opt = self._opt_flat()
-            if opt:
-                payload["opt"] = opt
             # One async write, to the step dir only: orbax commits via
             # tmp-dir rename, so step_N/orbax is all-or-nothing and resume
             # can trust the newest committed step. The per-step json goes
@@ -202,11 +198,19 @@ class CheckpointManager:
                 json.dump(trainer_state, f, indent=2)
             with open(self.dir / "trainer_state.json", "w") as f:
                 json.dump(trainer_state, f, indent=2)
-            if not (step_root / "orbax").exists():
+            if (step_root / "orbax").exists():
                 # a same-step re-save (end-of-epoch right after a periodic
-                # save) would be byte-identical: keep the committed one
-                self._orbax.save((step_root / "orbax").absolute(),
-                                 args=ocp.args.StandardSave(payload))
+                # save) would be byte-identical: keep the committed one and
+                # skip the device->host payload transfer entirely
+                print(f"Checkpoint step {self.state.step} already "
+                      f"committed; refreshed trainer state only")
+                return
+            payload = {"weights": self._weights_flat()}
+            opt = self._opt_flat()
+            if opt:
+                payload["opt"] = opt
+            self._orbax.save((step_root / "orbax").absolute(),
+                             args=ocp.args.StandardSave(payload))
             print(f"Saved checkpoint (step {self.state.step}, orbax async)")
             return
         from safetensors.numpy import save_file
@@ -257,8 +261,16 @@ class CheckpointManager:
 
     def _check_backend_mismatch(self):
         """A run dir written by the other backend must fail loudly, not
-        silently resume trainer state over missing/stale weights."""
-        has_orbax = bool(list(self.dir.glob("step_*/orbax")))
+        silently resume trainer state over missing/stale weights. An
+        orbax-origin dir is recognized by committed step_*/orbax dirs OR —
+        for a run that crashed before its first commit — step dirs holding
+        only a trainer_state.json (the safetensors layout always writes
+        latest.safetensors into its step dirs)."""
+        has_orbax = bool(list(self.dir.glob("step_*/orbax"))) or any(
+            (d / "trainer_state.json").exists()
+            and not (d / "latest.safetensors").exists()
+            for d in self.dir.glob("step_*")
+        )
         has_st = (self.dir / "latest.safetensors").exists()
         if self.backend == "safetensors" and has_orbax and not has_st:
             raise ValueError(
@@ -288,38 +300,44 @@ class CheckpointManager:
 
     def _load_orbax(self) -> bool:
         for step_dir in self._committed_orbax_steps():
-            restored = self._orbax.restore((step_dir / "orbax").absolute())
-            from csm_mlx_tpu.loaders import _merge, flat_to_tree
+            try:
+                restored = self._orbax.restore(
+                    (step_dir / "orbax").absolute())
+                from csm_mlx_tpu.loaders import _merge, flat_to_tree
 
-            tree = flat_to_tree({k: jnp.asarray(v)
-                                 for k, v in restored["weights"].items()})
-            if self.model.params is None:
-                self.model.params = tree
-            else:
-                self.model.params = _merge(self.model.params, tree)
-            print(f"Loaded latest run weights from {step_dir / 'orbax'}")
-            if "opt" in restored and \
-                    self.opt_state_ref.get("opt_state") is not None:
-                self._restore_opt(restored["opt"])
-                print("Loaded optimizer state (orbax)")
-            # trainer state from the SAME committed step dir: a crash
-            # mid-async-save leaves the run-root json a step ahead of the
-            # newest committed tensors — resuming from the step dir keeps
-            # weights and step counter consistent.
-            self._apply_trainer_state(step_dir / "trainer_state.json")
-            return True
+                tree = flat_to_tree({k: jnp.asarray(v)
+                                     for k, v in restored["weights"].items()})
+                if self.model.params is None:
+                    self.model.params = tree
+                else:
+                    self.model.params = _merge(self.model.params, tree)
+                print(f"Loaded latest run weights from {step_dir / 'orbax'}")
+                if "opt" in restored and \
+                        self.opt_state_ref.get("opt_state") is not None:
+                    self._restore_opt(restored["opt"])
+                    print("Loaded optimizer state (orbax)")
+                # trainer state from the SAME committed step dir: a crash
+                # mid-async-save leaves the run-root json a step ahead of
+                # the newest committed tensors — resuming from the step dir
+                # keeps weights and step counter consistent.
+                self._apply_trainer_state(step_dir / "trainer_state.json")
+                return True
+            except Exception as exc:  # partial/corrupt step: try the next
+                print(f"[WARN] could not resume from {step_dir}: {exc}; "
+                      f"trying an older checkpoint")
+                continue
         return False
 
     def load(self):
         self._check_backend_mismatch()
-        weights_path = self.dir / "latest.safetensors"
-        state_path = self.dir / "trainer_state.json"
-        opt_path = self.dir / "optimizer_state.safetensors"
-
         if self.backend == "orbax":
             if not self._load_orbax():
                 print("Trainer state not found. Starting fresh training.")
             return
+
+        weights_path = self.dir / "latest.safetensors"
+        state_path = self.dir / "trainer_state.json"
+        opt_path = self.dir / "optimizer_state.safetensors"
 
         if weights_path.exists():
             self.model.load_weights(str(weights_path), strict=False)

@@ -351,3 +351,24 @@ def test_checkpoint_orbax_backend_save_and_resume(tmp_path):
     with pytest.raises(ValueError, match="orbax"):
         CSMTrainer(TrainArgs(model=model4, optimizer=optax.adam(1e-3),
                              output_dir=out, learning_rate=1e-3))
+
+
+def test_orbax_run_without_committed_step_rejected_by_safetensors(tmp_path):
+    """An orbax run that crashed before its FIRST tensor commit leaves only
+    json files; a safetensors-backend resume must refuse rather than
+    restore step/epoch over fresh random weights."""
+    import json as _json
+
+    out = tmp_path / "crashed_orbax"
+    (out / "step_1").mkdir(parents=True)
+    state = {"trainer_state": {"step": 1, "epoch": 0, "loss": 0.0,
+                               "learning_rate": 1e-3},
+             "history": []}
+    for p in (out / "trainer_state.json",
+              out / "step_1" / "trainer_state.json"):
+        p.write_text(_json.dumps(state))
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(9))
+    with pytest.raises(ValueError, match="orbax"):
+        CSMTrainer(TrainArgs(model=model, optimizer=optax.adam(1e-3),
+                             output_dir=out, learning_rate=1e-3))
