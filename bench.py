@@ -130,7 +130,7 @@ def main() -> None:
     # ---- batch-parallel aggregate throughput (TPU-native capability) ----
     # B utterances share every weight read, so aggregate audio-sec/wall-sec
     # scales far past the single-stream number. BENCH_BATCH=0 disables.
-    batch_b = int(os.environ.get("BENCH_BATCH", "8"))
+    batch_b = int(os.environ.get("BENCH_BATCH", "16"))
     rtf_batch = None
     if batch_b > 1:
         from csm_mlx_tpu.generation import generate_tokens_batch
@@ -179,7 +179,8 @@ def main() -> None:
         "gen_wall_sec": round(t_gen, 3),
         "mimi_decode_wall_sec": round(t_dec, 3),
         "n_frames": n,
-        "rtf_batch8_aggregate": round(rtf_batch, 2) if rtf_batch else None,
+        "rtf_batch_aggregate": round(rtf_batch, 2) if rtf_batch else None,
+        "batch_size": batch_b if rtf_batch else None,
         "backend": jax.default_backend(),
     }))
 

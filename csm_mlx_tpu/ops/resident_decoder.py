@@ -22,8 +22,13 @@ per-step audio_head logits and sampling — in ONE `pallas_call`:
 
 Measured (benchmarks/micro_resident_decoder.py, long-program methodology):
 the resident matvec chain runs 1.6x faster than the dispatched production
-chain (2.78 vs 4.48 ms/frame). The path is used automatically for B=1
-W8A8 generation; `CSM_TPU_RESIDENT_DECODER=0` disables it.
+chain (2.78 vs 4.48 ms/frame). The path is used automatically for W8A8
+generation at batch <= CSM_TPU_RESIDENT_MAX_BATCH (attention is one
+block-diagonal matmul over the batch-flattened KV, so the Mosaic program
+size no longer grows with b); `CSM_TPU_RESIDENT_DECODER=0` disables it.
+Batches past 8 trade the KV scratch to bf16 to stay inside VMEM (weights
+keep bit-parity; per-row tokens can differ from the B=1 stream in rare
+argmax near-ties).
 
 Codebook 0 stays outside (it is sampled from the backbone hidden state
 with the full sampler/logits-processor chain, generation.py:42-54); the
@@ -77,6 +82,7 @@ def _frame_kernel(
     v_pad: int,
     eps: float,
     temperature: float,
+    kv_dtype,
     *refs,
 ):
     """One whole CSM frame for a static batch of `b` lockstep rows.
@@ -85,7 +91,11 @@ def _frame_kernel(
     the same step index (the batch generation loop keeps rows in lockstep
     and handles per-row EOS outside), so the KV cache, audio_head buffer,
     and rope matrices are shared; only activations, sampled tokens, and the
-    embedding gathers are per-row.
+    embedding gathers are per-row. Attention runs as ONE block-diagonal
+    matmul over the batch-flattened KV scratch (a (b·group, cap·b) score
+    matrix with a precomputed own-row block mask) instead of b×n_kv peeled
+    matmuls — the peeled form made the unrolled Mosaic program large enough
+    to SIGABRT the compiler past b=8.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -101,9 +111,11 @@ def _frame_kernel(
     normf_ref = refs[3 + 10 * n_layers]
     ah_ref = refs[4 + 10 * n_layers]       # HBM (n_cb-1, d, v_pad) bf16
     emb_ref = refs[5 + 10 * n_layers]      # HBM ((n_cb-2)*v, 1, d) f32
-    tok_ref = refs[6 + 10 * n_layers]      # VMEM out (n_cb, b) int32
+    bmask_ref = refs[6 + 10 * n_layers]    # VMEM (b*group, cap*b) f32 0/1
+    colpos_ref = refs[7 + 10 * n_layers]   # VMEM (1, cap*b) int32 col->pos
+    tok_ref = refs[8 + 10 * n_layers]      # VMEM out (n_cb, b) int32
     (kc_ref, vc_ref, ah_buf, emb_buf, x_sc, ah_sem, emb_sem) = \
-        refs[7 + 10 * n_layers:]
+        refs[9 + 10 * n_layers:]
 
     if temperature > 0.0:
         pltpu.prng_seed(seed_ref[0])
@@ -152,32 +164,38 @@ def _frame_kernel(
         k_rot = jax.lax.dot_general(k, rot_m, dn,
                                     preferred_element_type=jnp.float32)
 
-        kc_ref[li, pl.ds(s, 1), :, :] = k_rot.reshape(1, b, kvd)
-        vc_ref[li, pl.ds(s, 1), :, :] = val.reshape(1, b, kvd)
+        kc_ref[li, pl.ds(s, 1), :, :] = k_rot.reshape(1, b, kvd).astype(
+            kv_dtype)
+        vc_ref[li, pl.ds(s, 1), :, :] = val.reshape(1, b, kvd).astype(
+            kv_dtype)
 
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (group, cap), 1)
-        rows = []
-        for bi in range(b):
-            outs = []
-            for g in range(n_kv):
-                qg = q_rot[bi * n_heads + g * group:
-                           bi * n_heads + (g + 1) * group]   # (group, hd)
-                kg = kc_ref[li][:, bi, g * hd:(g + 1) * hd]  # (cap, hd)
-                sc = jax.lax.dot_general(
-                    qg, kg, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                # select (not add): scratch slots past s are uninitialized
-                # and may hold NaN — `garbage + NEG` stays NaN thru softmax.
-                sc = jnp.where(lanes <= s, sc, NEG)
-                m = jnp.max(sc, axis=-1, keepdims=True)
-                e = jnp.exp(sc - m)
-                p = e / jnp.sum(e, axis=-1, keepdims=True)
-                vg = vc_ref[li][:, bi, g * hd:(g + 1) * hd]
-                outs.append(jax.lax.dot_general(
-                    p, vg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))     # (group, hd)
-            rows.append(jnp.concatenate(outs, axis=0).reshape(1, attn))
-        a = jnp.concatenate(rows, axis=0)                    # (b, attn)
+        # Block-diagonal batched attention: score every row's queries
+        # against the batch-flattened KV (column j = position j//b of batch
+        # row j%b) in one matmul per kv-group, then `where`-mask (not add:
+        # masked slots must be exactly NEG so softmax zeroes them) to each
+        # query row's own block and to positions <= s.
+        q3 = q_rot.reshape(b, n_heads, hd)
+        keep = jnp.logical_and(bmask_ref[...] > 0, colpos_ref[...] <= s)
+        outs = []
+        for g in range(n_kv):
+            qg = q3[:, g * group:(g + 1) * group, :].reshape(b * group, hd)
+            kg = kc_ref[li][:, :, g * hd:(g + 1) * hd].astype(
+                jnp.float32).reshape(cap * b, hd)
+            sc = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            sc = jnp.where(keep, sc, NEG)
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp(sc - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            vg = vc_ref[li][:, :, g * hd:(g + 1) * hd].astype(
+                jnp.float32).reshape(cap * b, hd)
+            # zero-masked columns contribute exact 0s to the product; the
+            # scratch is zeroed at frame start so no NaN can poison it.
+            outs.append(jax.lax.dot_general(
+                p, vg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).reshape(b, group * hd))
+        a = jnp.concatenate(outs, axis=1)                    # (b, attn)
         x = x + mv(a, o_q, o_sz)
         h2 = rms(x, ln2)
         gu = mv(h2, gu_q, gu_sz)                       # (b, 2f)
@@ -232,16 +250,18 @@ def _frame_kernel(
                 logits = logits * (1.0 / temperature) + g
                 logits = jnp.where(lanes < v, logits, NEG)
 
-            # Per-row argmax; rows are peeled (b is static) because the
-            # embedding gather needs each token as a *scalar* DMA index.
+            # Vectorized per-row argmax (first-max-lane, matching the peeled
+            # original); only the scalar extraction of each row's token —
+            # needed as a *scalar* DMA index for the embedding gather — is
+            # peeled, as a masked full-reduction.
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            tokv = jnp.min(
+                jnp.where(logits == m, lanes, jnp.int32(2 ** 30)),
+                axis=-1, keepdims=True)                      # (b, 1)
+            tok_ref[pl.ds(s, 1), :] = tokv.reshape(1, b)
+            row_id = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
             for bi in range(b):
-                lrow = logits[bi:bi + 1]
-                lrow_lanes = lanes[bi:bi + 1]
-                m = jnp.max(lrow)
-                tok = jnp.min(jnp.where(lrow == m, lrow_lanes,
-                                        jnp.int32(2 ** 30)))
-                tok_ref[pl.ds(s, 1), pl.ds(bi, 1)] = jnp.full(
-                    (1, 1), tok, jnp.int32)
+                tok = jnp.sum(jnp.where(row_id == bi, tokv, 0))
 
                 # gather the projected embedding of the token just sampled —
                 # the input of step s+1 (embed slot s, table row (s-1)*v+tok)
@@ -268,16 +288,22 @@ def _build_frame_call(shape_key, temperature: float, interpret: bool):
 
     (b, n_layers, n_heads, n_kv, hd, d, f, n_cb, v, v_pad, eps) = shape_key
     kvd = n_kv * hd
+    # f32 KV keeps bit-parity with the dispatched path; past b=8 the f32
+    # scratch no longer fits VMEM next to the resident weights, and bf16
+    # KV (identical bytes to the b=8 f32 scratch at b=16) is the price of
+    # running the kernel at all.
+    kv_dtype = jnp.float32 if b <= 8 else jnp.bfloat16
 
     kernel = functools.partial(
         _frame_kernel, b, n_layers, n_heads, n_kv, hd, d, f, n_cb, v, v_pad,
-        eps, temperature)
+        eps, temperature, kv_dtype)
 
-    n_in = 3 + 10 * n_layers + 3
+    n_in = 3 + 10 * n_layers + 5
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]           # seed
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (
         2 + 10 * n_layers + 1)                                    # weights
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2           # hbm tabs
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2       # attn masks
     assert len(in_specs) == n_in
 
     return pl.pallas_call(
@@ -286,8 +312,8 @@ def _build_frame_call(shape_key, temperature: float, interpret: bool):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_cb, b), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((n_layers, n_cb, b, kvd), jnp.float32),  # K cache
-            pltpu.VMEM((n_layers, n_cb, b, kvd), jnp.float32),  # V cache
+            pltpu.VMEM((n_layers, n_cb, b, kvd), kv_dtype),     # K cache
+            pltpu.VMEM((n_layers, n_cb, b, kvd), kv_dtype),     # V cache
             pltpu.VMEM((2, d, v_pad), jnp.bfloat16),          # audio_head 2x
             pltpu.VMEM((b, 1, d), jnp.float32),               # embed rows
             pltpu.VMEM((b, d), jnp.float32),                  # x
@@ -298,6 +324,24 @@ def _build_frame_call(shape_key, temperature: float, interpret: bool):
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _attn_masks(b: int, group: int, cap: int):
+    """Static attention masks for the block-diagonal batched attention.
+
+    bmask[(bi*group + gi), (c*b + bj)] = 1.0 iff bj == bi (a query row may
+    only attend to its own batch row's KV columns); colpos[0, j] = j // b
+    maps a flattened KV column to its cache position for the `<= s` mask.
+    Precomputed host-side so the kernel never does integer div/rem on iotas.
+    """
+    cols = np.arange(cap * b)
+    rows = np.arange(b * group)
+    bmask = (cols[None, :] % b == rows[:, None] // group).astype(np.float32)
+    colpos = (cols // b).astype(np.int32)[None, :]
+    # numpy (not jnp): this cache is populated inside jit traces, and a
+    # cached jnp constant from one trace leaks as a tracer into the next.
+    return bmask, colpos
 
 
 def resident_decode_frame(res: Dict[str, Any], args, proj01: jax.Array,
@@ -318,10 +362,13 @@ def resident_decode_frame(res: Dict[str, Any], args, proj01: jax.Array,
     )
     call = _build_frame_call(shape_key, float(temperature),
                              jax.default_backend() == "cpu")
+    bmask, colpos = _attn_masks(
+        b, dcfg.num_attention_heads // dcfg.num_key_value_heads,
+        args.n_audio_codebooks)
     flat = [seed, proj01.astype(jnp.float32), res["rot"]]
     for lw in res["layers"]:
         flat += lw
-    flat += [res["norm"], res["audio_head"], res["embed_tab"]]
+    flat += [res["norm"], res["audio_head"], res["embed_tab"], bmask, colpos]
     return call(*flat)
 
 

@@ -49,8 +49,10 @@ def _mirror_mv(x, qp_q, sz):
             + sz[1:2] * jnp.sum(x))
 
 
-def _mirror_frame(res, args, proj01):
-    """Greedy whole-frame reference in plain jnp (no Pallas)."""
+def _mirror_frame(res, args, proj01, kv_dtype=jnp.float32):
+    """Greedy whole-frame reference in plain jnp (no Pallas). `kv_dtype`
+    models the kernel's KV scratch dtype (bf16 past b=8): stores round
+    through it, reads widen back to f32 — exactly the kernel's casts."""
     dcfg = args.decoder_config
     n_cb, v = args.n_audio_codebooks, args.n_audio_vocab
     heads, n_kv, hd = (dcfg.num_attention_heads, dcfg.num_key_value_heads,
@@ -64,7 +66,7 @@ def _mirror_frame(res, args, proj01):
         rr = jax.lax.rsqrt(jnp.mean(x * x) + eps)
         return x * rr * g
 
-    kc = jnp.zeros((len(res["layers"]), n_cb, kvd), jnp.float32)
+    kc = jnp.zeros((len(res["layers"]), n_cb, kvd), kv_dtype)
     vc = jnp.zeros_like(kc)
     toks = [0] * n_cb
     for s in range(n_cb):
@@ -80,17 +82,18 @@ def _mirror_frame(res, args, proj01):
             q = qkv[:, :attn_d].reshape(heads, hd) @ rot[s]
             k = qkv[:, attn_d:attn_d + kvd].reshape(n_kv, hd) @ rot[s]
             val = qkv[:, attn_d + kvd:]
-            kc = kc.at[li, s].set(k.reshape(kvd))
-            vc = vc.at[li, s].set(val.reshape(kvd))
+            kc = kc.at[li, s].set(k.reshape(kvd).astype(kv_dtype))
+            vc = vc.at[li, s].set(val.reshape(kvd).astype(kv_dtype))
             outs = []
             lanes = jnp.arange(n_cb)
             for g in range(n_kv):
                 qg = q[g * group:(g + 1) * group]
-                kg = kc[li][:, g * hd:(g + 1) * hd]
+                kg = kc[li][:, g * hd:(g + 1) * hd].astype(jnp.float32)
                 sc = (qg @ kg.T) * (hd ** -0.5)
                 sc = jnp.where(lanes[None, :] <= s, sc, -1e30)
                 p = jax.nn.softmax(sc, axis=-1)
-                outs.append(p @ vc[li][:, g * hd:(g + 1) * hd])
+                outs.append(
+                    p @ vc[li][:, g * hd:(g + 1) * hd].astype(jnp.float32))
             a = jnp.concatenate(outs, axis=0).reshape(1, attn_d)
             x = x + _mirror_mv(a, o_q, o_sz)
             h2 = rms(x, ln2)
@@ -145,6 +148,26 @@ def test_kernel_batch_rows_independent(quant_model):
     # distinct inputs should (with these random weights) differ somewhere
     assert not np.array_equal(np.asarray(batched)[:, 0],
                               np.asarray(batched)[:, 1])
+
+
+def test_kernel_batch16_bf16_kv_matches_mirror(quant_model):
+    """Past b=8 the kernel's KV scratch drops to bf16 (VMEM budget at
+    production geometry); every row must match a mirror that models exactly
+    that rounding."""
+    model = quant_model
+    res = model.params["_resident"]
+    d = model.args.decoder_config.hidden_size
+    seed = jnp.zeros((1,), jnp.int32)
+    rows = jax.random.normal(jax.random.PRNGKey(11), (16, 2, d)) * 0.3
+
+    batched = resident_decode_frame(
+        res, model.args, rows.transpose(1, 0, 2), seed, 0.0)  # (n_cb, 16)
+    assert batched.shape == (model.args.n_audio_codebooks, 16)
+    for bi in (0, 7, 15):
+        expect = _mirror_frame(res, model.args, rows[bi],
+                               kv_dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(batched)[1:, bi],
+                                      np.asarray(expect, np.int32)[1:])
 
 
 def test_prepared_tables_shapes(quant_model):
