@@ -19,6 +19,10 @@ import os
 import sys
 import time
 
+# No egress in the bench environment: fail HF lookups fast (the Mimi
+# tokenizer falls back to random init) instead of 5 retries with backoff.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -50,19 +54,20 @@ def main():
 
     tok_mod.get_text_tokenizer = lambda path=None: FakeTextTokenizer()
 
-    n_requests = int(os.environ.get("N_REQUESTS", "24"))
+    n_requests = int(os.environ.get("N_REQUESTS", "32"))
     seconds = float(os.environ.get("SECONDS", "5"))
+    max_batch = int(os.environ.get("MAX_BATCH", "16"))
 
     model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
     quantize_model(model, mode="w8a8")
 
     async def run():
-        server = TTSServer(model, max_batch=8, max_wait_ms=40,
+        server = TTSServer(model, max_batch=max_batch, max_wait_ms=40,
                            max_audio_length_ms=seconds * 1000,
                            temperature=0.0)
         # Warmup: compile the (bucket, batch) programs the run will use.
         await asyncio.gather(*[
-            server.synthesize(f"warmup {i}") for i in range(8)])
+            server.synthesize(f"warmup {i}") for i in range(max_batch)])
         server.stats.requests = 0
         server.stats.batches = 0
         server.stats.batch_sizes.clear()

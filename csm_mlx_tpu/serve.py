@@ -81,7 +81,7 @@ class TTSServer:
         self,
         model,
         *,
-        max_batch: int = 8,
+        max_batch: int = 16,
         max_wait_ms: float = 30.0,
         max_audio_length_ms: float = 30_000,
         temperature: float = 0.8,
@@ -103,6 +103,12 @@ class TTSServer:
         # One device program at a time: batches and streams interleave at
         # request granularity instead of contending for the chip.
         self._device_lock = asyncio.Lock()
+        # Up to two batches in flight: one on the device while the
+        # previous one's waveforms stream back to the host (the ~8 MB/batch
+        # device->host transfer rides the DMA/tunnel, not the compute units,
+        # so the chip never idles waiting on it).
+        self._inflight: set = set()
+        self.max_inflight = 2
 
     async def start(self) -> None:
         if self._task is None:
@@ -116,6 +122,10 @@ class TTSServer:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # Drain in-flight batches (their callers get results or errors).
+        if self._inflight:
+            await asyncio.gather(*list(self._inflight),
+                                 return_exceptions=True)
         # Resolve requests still waiting in the queue — callers blocked on
         # `await fut` must never hang past a server stop.
         while not self._queue.empty():
@@ -217,7 +227,16 @@ class TTSServer:
                                                         timeout=remaining))
                 except asyncio.TimeoutError:
                     break
-            await self._run_batch(batch)
+            # Pipeline: hand the batch to its own task and go back to
+            # admitting requests — batch N+1 generates on the device while
+            # batch N's host transfers drain (the device lock inside
+            # _run_batch still serializes device programs).
+            while len(self._inflight) >= self.max_inflight:
+                await asyncio.wait(self._inflight,
+                                   return_when=asyncio.FIRST_COMPLETED)
+            task = asyncio.create_task(self._run_batch(batch))
+            self._inflight.add(task)
+            task.add_done_callback(self._inflight.discard)
 
     async def _run_batch(self, batch: List[_Pending]) -> None:
         from csm_mlx_tpu.generation import generate_batch
@@ -226,32 +245,49 @@ class TTSServer:
         speakers = [p.speaker for p in batch]
         contexts = [p.context for p in batch]
 
-        # Sharded generation requires the batch to divide evenly over the
-        # mesh "data" axis — pad by repeating the last request and slice
-        # the extra rows off afterwards.
+        # Pad ragged batches up to a power-of-two bucket (repeating the last
+        # request; extra rows are sliced off) so a server only ever compiles
+        # one generation program per (prompt-bucket, batch-bucket) instead
+        # of one per observed batch size.
+        target = 1
+        while target < len(texts):
+            target *= 2
+        # Sharded generation additionally requires the batch to divide
+        # evenly over the mesh "data" axis.
         if self.mesh is not None:
             data_size = dict(self.mesh.shape).get("data", 1)
-            while len(texts) % data_size:
-                texts.append(texts[-1])
-                speakers.append(speakers[-1])
-                contexts.append(contexts[-1])
+            while target % data_size:
+                target += 1
+        while len(texts) < target:
+            texts.append(texts[-1])
+            speakers.append(speakers[-1])
+            contexts.append(contexts[-1])
 
-        def run() -> Tuple[List[np.ndarray], float]:
+        def run_device() -> Tuple[List[Any], float]:
+            import jax
+
             t0 = time.monotonic()
             rows = generate_batch(
                 self.model, texts, speakers, contexts,
                 max_audio_length_ms=self.max_audio_length_ms,
                 temperature=self.temperature, sampler=self.sampler,
                 watermark_key=self.watermark_key, mesh=self.mesh,
-            )
-            rows = [np.asarray(r, dtype=np.float32)
-                    for r in rows[:len(batch)]]
+            )[:len(batch)]
+            # Wait for the compute, but keep the rows on the device: the
+            # host transfer happens outside the device lock so the next
+            # batch's programs dispatch while these bytes cross the tunnel.
+            rows = jax.block_until_ready(rows)
             return rows, time.monotonic() - t0
+
+        def fetch(rows_dev) -> List[np.ndarray]:
+            return [np.asarray(r, dtype=np.float32) for r in rows_dev]
 
         try:
             async with self._device_lock:
-                rows, wall = await asyncio.get_running_loop().run_in_executor(
-                    None, run)
+                rows_dev, wall = await asyncio.get_running_loop() \
+                    .run_in_executor(None, run_device)
+            rows = await asyncio.get_running_loop().run_in_executor(
+                None, fetch, rows_dev)
         except BaseException as exc:  # resolve every caller, never deadlock
             for p in batch:
                 if not p.future.done():
