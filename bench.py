@@ -130,7 +130,7 @@ def main() -> None:
     # ---- batch-parallel aggregate throughput (TPU-native capability) ----
     # B utterances share every weight read, so aggregate audio-sec/wall-sec
     # scales far past the single-stream number. BENCH_BATCH=0 disables.
-    batch_b = int(os.environ.get("BENCH_BATCH", "16"))
+    batch_b = int(os.environ.get("BENCH_BATCH", "48"))
     rtf_batch = None
     if batch_b > 1:
         from csm_mlx_tpu.generation import generate_tokens_batch

@@ -67,7 +67,13 @@ def main():
     mask = np.zeros((s, 33), dtype=np.int32)
     mask[:, -1] = 1
 
-    for batch in (1, 4):
+    # B<=8 keeps f32 KV in the kernel: near-exact parity expected. B=16
+    # stores KV in bf16 (VMEM budget), so individual argmax near-ties may
+    # flip — gate on aggregate agreement only. AB_BATCHES=1,4 skips the
+    # slow dispatched B=16 run.
+    batches = tuple(int(x) for x in os.environ.get(
+        "AB_BATCHES", "1,4,16").split(","))
+    for batch in batches:
         fr_res, n_res, t_res = run("1", model, prompt, mask, 0, batch=batch)
         fr_dis, n_dis, t_dis = run("0", model, prompt, mask, 0, batch=batch)
 
@@ -83,7 +89,7 @@ def main():
         if not per_frame.all():
             f = int(np.argmin(per_frame))
             print(f"first mismatch frame {f}")
-        assert total > 0.999, total
+        assert total > (0.999 if batch <= 8 else 0.99), total
     print("OK")
 
 

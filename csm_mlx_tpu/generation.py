@@ -134,7 +134,7 @@ def _use_resident_decoder(params, sampler, b: int) -> bool:
     backend whose Pallas supports the kernel (TPU; CPU only via interpret
     mode in tests, which set CSM_TPU_RESIDENT_DECODER=interpret)."""
     flag = os.environ.get("CSM_TPU_RESIDENT_DECODER", "1")
-    max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "16"))
+    max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"))
     if flag == "0" or "_resident" not in params or b > max_b:
         return False
     from csm_mlx_tpu.ops.resident_decoder import sampler_supported
@@ -271,7 +271,7 @@ def _resident_env_key() -> Tuple[str, ...]:
     builder cache keys makes toggling them mid-process take effect on the
     next call instead of silently reusing the old compiled loop."""
     return (os.environ.get("CSM_TPU_RESIDENT_DECODER", "1"),
-            os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "16"),
+            os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"),
             os.environ.get("CSM_TPU_FLASH_PREFILL", "1"))
 
 

@@ -175,7 +175,10 @@ def _frame_kernel(
         # masked slots must be exactly NEG so softmax zeroes them) to each
         # query row's own block and to positions <= s.
         q3 = q_rot.reshape(b, n_heads, hd)
-        keep = jnp.logical_and(bmask_ref[...] > 0, colpos_ref[...] <= s)
+        # bmask is stored bf16 (VMEM) but compared in f32: Mosaic has no
+        # bf16 comparison on this target.
+        keep = jnp.logical_and(bmask_ref[...].astype(jnp.float32) > 0,
+                               colpos_ref[...] <= s)
         outs = []
         for g in range(n_kv):
             qg = q3[:, g * group:(g + 1) * group, :].reshape(b * group, hd)
@@ -223,7 +226,10 @@ def _frame_kernel(
             x_sc[...] = emb_buf[...].astype(jnp.float32).reshape(b, d)
 
         x = x_sc[...]
-        rot_m = rot_ref[pl.ds(s, 1), :, :].reshape(hd, hd)
+        # rot arrives bf16 past b=8 (VMEM budget); widen so the RoPE
+        # matmul itself stays f32 either way.
+        rot_m = rot_ref[pl.ds(s, 1), :, :].reshape(hd, hd).astype(
+            jnp.float32)
         for li in range(n_layers):
             x = layer(li, x, s, rot_m)
         h = rms(x, normf_ref)
@@ -321,7 +327,7 @@ def _build_frame_call(shape_key, temperature: float, interpret: bool):
             pltpu.SemaphoreType.DMA((b,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -335,9 +341,14 @@ def _attn_masks(b: int, group: int, cap: int):
     maps a flattened KV column to its cache position for the `<= s` mask.
     Precomputed host-side so the kernel never does integer div/rem on iotas.
     """
+    import jax.numpy as _jnp  # dtype only; arrays stay numpy (see below)
+
     cols = np.arange(cap * b)
     rows = np.arange(b * group)
-    bmask = (cols[None, :] % b == rows[:, None] // group).astype(np.float32)
+    # bf16: the mask is boolean-valued, and at b=48 an f32 (b*group, cap*b)
+    # costs >1 MB of the VMEM budget.
+    bmask = (cols[None, :] % b == rows[:, None] // group).astype(
+        _jnp.bfloat16)
     colpos = (cols // b).astype(np.int32)[None, :]
     # numpy (not jnp): this cache is populated inside jit traces, and a
     # cached jnp constant from one trace leaks as a tracer into the next.
@@ -365,7 +376,10 @@ def resident_decode_frame(res: Dict[str, Any], args, proj01: jax.Array,
     bmask, colpos = _attn_masks(
         b, dcfg.num_attention_heads // dcfg.num_key_value_heads,
         args.n_audio_codebooks)
-    flat = [seed, proj01.astype(jnp.float32), res["rot"]]
+    # Same b>8 VMEM economy as the KV scratch: the 2 MB f32 rotation table
+    # rides as bf16 (values rounded; the matmul widens back to f32).
+    rot = res["rot"] if b <= 8 else res["rot"].astype(jnp.bfloat16)
+    flat = [seed, proj01.astype(jnp.float32), rot]
     for lw in res["layers"]:
         flat += lw
     flat += [res["norm"], res["audio_head"], res["embed_tab"], bmask, colpos]

@@ -60,6 +60,10 @@ def _mirror_frame(res, args, proj01, kv_dtype=jnp.float32):
     attn_d, kvd, group = heads * hd, n_kv * hd, heads // n_kv
     eps = dcfg.rms_norm_eps
     rot = np.asarray(res["rot"])
+    if kv_dtype != jnp.float32:
+        # Past b=8 the kernel ships the rotation table as bf16 and widens
+        # on load — model the rounding.
+        rot = rot.astype(jnp.bfloat16).astype(np.float32)
     v_pad = res["audio_head"].shape[-1]
 
     def rms(x, g):
