@@ -44,6 +44,9 @@ def add_common_train_flags(p: argparse.ArgumentParser) -> None:
                         "(Sesame compute amortization; 1.0 = full)")
     p.add_argument("--data-parallel", action="store_true", default=False,
                    help="Shard the batch over all local devices")
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="Also shard parameter + optimizer-state storage "
+                        "over the devices (ZeRO-3; implies --data-parallel)")
 
 
 def build_optimizer(name: str, learning_rate: float, weight_decay: float):
@@ -84,11 +87,16 @@ def load_model(args: argparse.Namespace) -> CSM:
 
 
 def make_mesh_if_requested(args: argparse.Namespace):
-    if not getattr(args, "data_parallel", False):
+    if not (getattr(args, "data_parallel", False)
+            or getattr(args, "fsdp", False)):
         return None
     from csm_mlx_tpu.parallel import create_mesh
 
     return create_mesh()
+
+
+def param_sharding_mode(args: argparse.Namespace) -> str:
+    return "fsdp" if getattr(args, "fsdp", False) else "replicated"
 
 
 def load_dataset(cls, args: argparse.Namespace, n_audio_codebooks: int):

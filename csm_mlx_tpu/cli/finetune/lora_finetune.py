@@ -13,6 +13,7 @@ from csm_mlx_tpu.cli.finetune.common import (
     load_dataset,
     load_model,
     make_mesh_if_requested,
+    param_sharding_mode,
 )
 
 
@@ -100,6 +101,7 @@ def _common_train_args(args, model, flt):
         learning_rate=args.learning_rate,
         decoder_loss_fraction=getattr(args, "decoder_loss_fraction", 1.0),
         mesh=make_mesh_if_requested(args),
+        param_sharding=param_sharding_mode(args),
         trainable_filter=flt,
         only_save_trainable_params=True,
     )

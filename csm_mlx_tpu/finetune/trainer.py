@@ -65,6 +65,11 @@ class TrainArgs:
     decoder_loss_fraction: float = 1.0  # <1.0 = Sesame compute amortization
     learning_rate: Optional[float] = None  # for state reporting only
     mesh: Optional[Any] = None  # jax.sharding.Mesh for data parallelism
+    # "replicated": plain DP (params/opt state replicated, grads all-reduce).
+    # "fsdp": ZeRO-3-style — params AND optimizer state stored sharded over
+    # "data" (parallel.mesh.fsdp_leaf_spec); XLA all-gathers weights on use
+    # and reduce-scatters grads. ~1/n_data memory per chip.
+    param_sharding: str = "replicated"
     trainable_filter: Optional[Callable[[str], bool]] = None  # LoRA masking
     checkpoint_backend: str = "safetensors"  # or "orbax" (async saves)
 
@@ -388,13 +393,21 @@ class CSMTrainer:
         )
         self.checkpointer.load()
         if args.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            if args.param_sharding == "fsdp":
+                from csm_mlx_tpu.parallel.mesh import shard_params_fsdp
 
-            rep = NamedSharding(args.mesh, P())
-            self.model.params = jax.device_put(self.model.params, rep)
-            self.opt_state_ref["opt_state"] = jax.device_put(
-                self.opt_state_ref["opt_state"], rep
-            )
+                self.model.params = shard_params_fsdp(
+                    self.model.params, args.mesh)
+                self.opt_state_ref["opt_state"] = shard_params_fsdp(
+                    self.opt_state_ref["opt_state"], args.mesh)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(args.mesh, P())
+                self.model.params = jax.device_put(self.model.params, rep)
+                self.opt_state_ref["opt_state"] = jax.device_put(
+                    self.opt_state_ref["opt_state"], rep
+                )
         self._step_fn: Optional[Callable] = None
         self._rng = jax.random.PRNGKey(0)
 
@@ -453,8 +466,28 @@ class CSMTrainer:
         # Sharding comes from the (committed) argument placements:
         # _prepare_batch shards batches over the "data" axis and __init__
         # replicates params/opt state across the mesh. XLA inserts the
-        # gradient all-reduce.
-        return jax.jit(step, donate_argnums=(0, 1))
+        # gradient all-reduce. Under FSDP the outputs are pinned back to
+        # the sharded storage layout so params/opt state never silently
+        # gather to replicated across steps (and donation stays valid).
+        jit_kwargs = {}
+        if (self.args.mesh is not None
+                and self.args.param_sharding == "fsdp"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from csm_mlx_tpu.parallel.mesh import fsdp_leaf_spec
+
+            mesh = self.args.mesh
+
+            def _ns(x):
+                return NamedSharding(mesh, fsdp_leaf_spec(x, mesh))
+
+            jit_kwargs["out_shardings"] = (
+                jax.tree.map(_ns, self.model.params),
+                jax.tree.map(_ns, self.opt_state_ref["opt_state"]),
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P()),
+            )
+        return jax.jit(step, donate_argnums=(0, 1), **jit_kwargs)
 
     def _prepare_batch(self, batch):
         if self.args.mesh is not None:

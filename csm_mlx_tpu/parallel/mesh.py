@@ -120,6 +120,55 @@ def data_parallel_spec(batch: Any) -> Any:
     return jax.tree.map(lambda x: P("data"), batch)
 
 
+# -- FSDP (ZeRO-3-style fully-sharded data parallel) ---------------------
+#
+# Parameters and optimizer state are *stored* sharded over the "data" axis
+# (largest dim of each tensor); XLA's SPMD partitioner inserts the
+# all-gather before each use in the forward/backward pass and the
+# reduce-scatter on the gradients. The reference has no distributed
+# training at all (SURVEY.md §2.3); this is the standard JAX recipe from
+# the scaling-book: annotate storage shardings, let GSPMD schedule the
+# collectives. Memory per chip drops from O(params) to O(params / n_data)
+# for params, grads, and Adam moments alike.
+
+_FSDP_MIN_BYTES = 1 << 16  # replicate small tensors (norm scales, biases)
+
+
+def fsdp_leaf_spec(x: Any, mesh: Mesh, axis: str = "data") -> P:
+    """Shape-based FSDP rule for ONE array: shard the largest dim that
+    divides the mesh axis; replicate small/indivisible tensors.
+
+    Shape-based (not path-based) so the same rule applied to a param and
+    to its Adam moments yields identical shardings.
+    """
+    ndim = getattr(x, "ndim", 0)
+    size = int(np.prod(x.shape)) if ndim else 1
+    nbytes = size * getattr(getattr(x, "dtype", None), "itemsize", 4)
+    if ndim == 0 or nbytes < _FSDP_MIN_BYTES:
+        return P()
+    n = mesh.shape.get(axis, 1)
+    # largest dim first; ties broken toward the leading dim
+    for dim in sorted(range(ndim), key=lambda d: (-x.shape[d], d)):
+        if x.shape[dim] % n == 0:
+            return P(*(axis if d == dim else None for d in range(ndim)))
+    return P()
+
+
+def fsdp_param_spec(params: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """PartitionSpec pytree applying `fsdp_leaf_spec` to every leaf."""
+    return jax.tree.map(lambda x: fsdp_leaf_spec(x, mesh, axis), params)
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """device_put params (or optimizer state — any pytree of arrays) with
+    FSDP storage shardings over `axis`."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, fsdp_leaf_spec(x, mesh, axis))),
+        params,
+    )
+
+
 def _spec_fits(x, spec: P, mesh: Mesh) -> bool:
     """True iff every sharded dim of x divides the mesh axes assigned to it
     (jax.device_put rejects uneven shards)."""

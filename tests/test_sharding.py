@@ -154,3 +154,48 @@ def test_shard_params_indivisible_vocab_replicates():
     qspec = sharded["backbone"]["layers"][0]["self_attn"]["q_proj"][
         "weight"].sharding.spec
     assert qspec[0] == "model", qspec
+
+
+def test_fsdp_train_step_matches_replicated(monkeypatch):
+    """FSDP (params + opt state stored sharded over "data") computes the
+    same loss/updates as plain replicated DP, and the Adam moments really
+    are sharded (the ZeRO memory claim)."""
+    import tempfile
+
+    import csm_mlx_tpu.parallel.mesh as mesh_mod
+    from csm_mlx_tpu.finetune.trainer import CSMTrainer, TrainArgs
+    from test_trainer import _batch
+
+    # tiny-model weights are all < the production 64KB replicate-small
+    # threshold; drop it so the storage-sharding path is actually exercised
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_BYTES", 1024)
+
+    mesh = create_mesh({"data": 8})
+    batch = _batch(tiny_args(), b=8, s=6)
+
+    def run(param_sharding):
+        model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(7))
+        with tempfile.TemporaryDirectory() as td:
+            trainer = CSMTrainer(TrainArgs(
+                model=model, optimizer=optax.adam(1e-3), output_dir=td,
+                ckpt_freq=0, mesh=mesh, learning_rate=1e-3,
+                param_sharding=param_sharding,
+            ))
+            losses = [trainer.train_step(batch) for _ in range(2)]
+            return losses, trainer
+
+    losses_rep, _ = run("replicated")
+    losses_fsdp, trainer = run("fsdp")
+    np.testing.assert_allclose(losses_fsdp, losses_rep, rtol=2e-5)
+
+    # storage really is sharded: a large 2-D param and its Adam moment
+    w = trainer.model.params["backbone"]["layers"][0]["mlp"]["gate_proj"][
+        "weight"]
+    assert "data" in tuple(w.sharding.spec), w.sharding.spec
+    mu = jax.tree.leaves(trainer.opt_state_ref["opt_state"],
+                         is_leaf=lambda x: hasattr(x, "sharding"))
+    sharded_leaves = [x for x in mu
+                      if hasattr(x, "sharding") and hasattr(x, "ndim")
+                      and x.ndim >= 2
+                      and any(s == "data" for s in x.sharding.spec)]
+    assert sharded_leaves, "no sharded optimizer-state leaves found"
