@@ -4,8 +4,9 @@ The reference is single-device with no distributed runtime (SURVEY.md §2.3);
 this layer is new TPU-native capability: jax.sharding Meshes with XLA
 collectives over ICI, data-parallel training and batch-parallel generation,
 tensor-parallel weight sharding for the CSM backbone/decoder, FSDP (ZeRO-3
-storage sharding) for training, and GPipe-style pipeline parallelism for
-the backbone stack (parallel.pipeline).
+storage sharding) for training, GPipe-style pipeline parallelism for the
+backbone stack (parallel.pipeline), and ring-attention sequence
+parallelism (parallel.sequence).
 """
 
 from csm_mlx_tpu.parallel.pipeline import (
@@ -13,6 +14,7 @@ from csm_mlx_tpu.parallel.pipeline import (
     shard_pipeline_params,
     stack_pipeline_params,
 )
+from csm_mlx_tpu.parallel.sequence import ring_sdpa, shard_sequence
 from csm_mlx_tpu.parallel.mesh import (
     create_mesh,
     csm_param_spec,
@@ -36,4 +38,6 @@ __all__ = [
     "pipeline_forward",
     "shard_pipeline_params",
     "stack_pipeline_params",
+    "ring_sdpa",
+    "shard_sequence",
 ]
