@@ -117,6 +117,7 @@ def pipeline_forward(
     n_micro: int,
     norm: Optional[Any] = None,
     remat: bool = False,
+    data_axis: Optional[str] = None,
 ) -> jax.Array:
     """Pipeline the layer stack over mesh axis "pipe".
 
@@ -125,14 +126,23 @@ def pipeline_forward(
       embeds: (B, S, D) — B must divide into n_micro microbatches.
       cos/sin/positions/mask_bias: as llama_forward (replicated).
       norm: optional final-norm params applied after the pipeline.
+      data_axis: optional second mesh axis for 2-D PP x DP: each
+        microbatch's rows are additionally sharded over it, so every
+        (pipe, data) device runs its stage on 1/n_data of the microbatch.
 
-    Returns hidden (B, S, D), replicated.
+    Returns hidden (B, S, D); replicated over "pipe", sharded over
+    `data_axis` (if given) on dim 0.
     """
     n_stages = mesh.shape["pipe"]
     b = embeds.shape[0]
     if b % n_micro != 0:
         raise ValueError(f"batch {b} not divisible into {n_micro} microbatches")
-    micro = embeds.reshape((n_micro, b // n_micro) + embeds.shape[1:])
+    mb = b // n_micro
+    if data_axis is not None and mb % mesh.shape[data_axis] != 0:
+        raise ValueError(
+            f"microbatch {mb} not divisible over {data_axis}="
+            f"{mesh.shape[data_axis]}")
+    micro = embeds.reshape((n_micro, mb) + embeds.shape[1:])
 
     stage = partial(_stage_apply, cfg=cfg)
     if remat:
@@ -164,11 +174,12 @@ def pipeline_forward(
         return jax.lax.psum(
             jnp.where(idx == n_stages - 1, out_buf, 0.0), "pipe")
 
+    micro_spec = P(None, data_axis) if data_axis else P()
     fwd = shard_map(
         per_device, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P("pipe"), stacked),
-                  P(), P(), P(), P(), P()),
-        out_specs=P(),
+                  micro_spec, P(), P(), P(), P()),
+        out_specs=micro_spec,
         check_rep=False,
     )
     out = fwd(stacked, micro, cos, sin, positions, mask_bias)

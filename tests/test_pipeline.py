@@ -73,6 +73,50 @@ def test_pipeline_gradients_match_single_device():
                                rtol=2e-3, atol=1e-4)
 
 
+def test_pipeline_2d_pp_x_dp_matches_single_device():
+    """2-D mesh: stages over "pipe", microbatch rows over "data"."""
+    cfg, params, x, cos, sin, positions, bias = _setup(b=8, s=6)
+    ref, _ = llama_forward(params, cfg, x, cos, sin, positions, bias, None)
+
+    mesh = create_mesh({"pipe": 2, "data": 4})
+    stacked = shard_pipeline_params(
+        stack_pipeline_params(params["layers"], 2), mesh)
+    out = pipeline_forward(stacked, cfg, x, cos, sin, positions, bias,
+                           mesh, n_micro=2, norm=params["norm"],
+                           data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    with pytest.raises(ValueError):  # microbatch 4 not divisible by 8
+        pipeline_forward(stacked, cfg, x, cos, sin, positions, bias,
+                         create_mesh({"pipe": 1, "data": 8}), n_micro=2,
+                         data_axis="data")
+
+
+def test_pipeline_weight_gradients_match_single_device():
+    """Training path: grads wrt the stage-stacked weights match the
+    single-device grads restacked the same way."""
+    cfg, params, x, cos, sin, positions, bias = _setup(b=4, s=6)
+    mesh = create_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    stacked = stack_pipeline_params(params["layers"], 4)
+
+    def pp_loss(st):
+        h = pipeline_forward(
+            shard_pipeline_params(st, mesh), cfg, x, cos, sin, positions,
+            bias, mesh, n_micro=2, norm=params["norm"], remat=True)
+        return jnp.sum(h ** 2)
+
+    def ref_loss(layers):
+        h, _ = llama_forward({**params, "layers": layers}, cfg, x, cos,
+                             sin, positions, bias, None)
+        return jnp.sum(h ** 2)
+
+    g_pp = jax.jit(jax.grad(pp_loss))(stacked)
+    g_ref = stack_pipeline_params(jax.grad(ref_loss)(params["layers"]), 4)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_stack_pipeline_params_shapes():
     cfg, params, *_ = _setup(n_layers=4)
     stacked = stack_pipeline_params(params["layers"], 2)
