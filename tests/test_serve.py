@@ -201,6 +201,37 @@ def test_http_stream_endpoint(offline_tokenizers, model):
     assert all(s == 1920 * 2 for s in sizes)  # s16le, 1920 samples
 
 
+def test_padded_bucket_clamps_to_max_batch(offline_tokenizers, model,
+                                           monkeypatch):
+    """A non-power-of-two max_batch (e.g. 48, the resident kernel's VMEM
+    cap) must bucket a full batch to max_batch, not the next power of two —
+    past the cap the batch would silently fall off the resident kernel."""
+    import csm_mlx_tpu.generation as gen_mod
+
+    seen = []
+    real = gen_mod.generate_batch
+
+    def spy(model_, texts, *a, **kw):
+        seen.append(len(texts))
+        return real(model_, texts, *a, **kw)
+
+    monkeypatch.setattr(gen_mod, "generate_batch", spy)
+
+    async def main():
+        server = TTSServer(model, max_batch=3, max_wait_ms=300,
+                           max_audio_length_ms=400, temperature=0.0)
+        rows = await asyncio.gather(*[
+            server.synthesize(f"clamp {i}") for i in range(3)
+        ])
+        await server.stop()
+        return rows
+
+    rows = asyncio.run(main())
+    assert len(rows) == 3 and all(r.size > 0 for r in rows)
+    # One 3-row batch, padded to 3 (clamped) — never 4.
+    assert 3 in seen and all(s <= 3 for s in seen)
+
+
 def test_wav_bytes_layout():
     audio = np.sin(np.linspace(0, 10, 2400)).astype(np.float32)
     data = wav_bytes(audio, 24000)
