@@ -1,0 +1,152 @@
+"""Continuous-batching vs lockstep serving under mixed utterance lengths.
+
+TTS workloads are length-skewed (one-word confirmations to multi-sentence
+paragraphs). A lockstep batch (generation.generate_tokens_batch — the
+whole batch runs until its longest row finishes) pays max(len) frames per
+batch; the continuous engine (csm_mlx_tpu/continuous.py) recycles each slot
+the moment its stream ends, paying ~mean(len) per slot plus per-frame
+dispatch overhead.
+
+Both arms run the SAME workload on the full-size W8A8 CSM-1B with the
+resident decoder kernel: N requests whose natural lengths are drawn
+uniformly from [MIN_FRAMES, MAX_FRAMES] (a request's per-row cap emulates
+its EOS — random weights never emit the all-zero EOS frame). Tokens only
+(codec off) in both arms so the comparison is pure generation scheduling.
+
+Run: python benchmarks/continuous_bench.py
+Env: N_REQUESTS=64 SLOTS=16 MIN_FRAMES=12 MAX_FRAMES=150 SEED=0
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _prompt(args, s, seed):
+    rng = np.random.RandomState(seed)
+    k = args.n_audio_codebooks + 1
+    prompt = np.zeros((s, k), dtype=np.int32)
+    prompt[:, -1] = rng.randint(3, 200, size=s)
+    mask = np.zeros((s, k), dtype=np.int32)
+    mask[:, -1] = 1
+    return prompt, mask
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    import jax.numpy as jnp
+
+    from csm_mlx_tpu.continuous import ContinuousEngine
+    from csm_mlx_tpu.generation import generate_tokens_batch
+    from csm_mlx_tpu.models.csm import CSM, csm_1b
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    n_requests = int(os.environ.get("N_REQUESTS", "64"))
+    n_slots = int(os.environ.get("SLOTS", "16"))
+    min_f = int(os.environ.get("MIN_FRAMES", "12"))
+    max_f = int(os.environ.get("MAX_FRAMES", "150"))
+    seed = int(os.environ.get("SEED", "0"))
+    frames_per_step = int(os.environ.get("FRAMES_PER_STEP", "8"))
+
+    model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    quantize_model(model, mode="w8a8")
+    args = model.args
+
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(min_f, max_f + 1, size=n_requests)
+    prompts = [_prompt(args, 16 + int(rng.randint(0, 16)), 100 + i)
+               for i in range(n_requests)]
+    audio_sec = float(lengths.sum()) * 0.08
+
+    # --- continuous arm -------------------------------------------------
+    eng = ContinuousEngine(
+        model, n_slots=n_slots, max_frames=max_f, max_prompt_bucket=32,
+        capacity_slack=64, temperature=0.0, codec=False,
+        frames_per_step=frames_per_step, key=jax.random.PRNGKey(1))
+    # Warmup compiles (admit per bucket + step) on a throwaway request.
+    eng.submit_prompt(*prompts[0], max_frames=2)
+    eng.run_until_idle()
+
+    t0 = time.perf_counter()
+    results = [eng.submit_prompt(p, m, max_frames=int(f))
+               for (p, m), f in zip(prompts, lengths)]
+    eng.run_until_idle()
+    cont_wall = time.perf_counter() - t0
+    mismatches = []
+    for ri, (res, f) in enumerate(zip(results, lengths)):
+        got = res.wait(0)
+        if got.shape[0] != f:
+            mismatches.append((ri, got.shape[0], int(f), res.finish_reason))
+    if mismatches:
+        print(f"# LENGTH MISMATCHES: {mismatches[:8]}", file=sys.stderr)
+        if os.environ.get("DEBUG_MISMATCH"):
+            from csm_mlx_tpu.generation import generate_tokens
+
+            ri, got_n, want_n, reason = mismatches[0]
+            p, m = prompts[ri]
+            solo, n = generate_tokens(model, p, m, int(lengths[ri]),
+                                      temperature=0.0)
+            got = results[ri].token_matrix()
+            agree = int((np.asarray(solo[:got_n]) == got).all(axis=1).sum())
+            print(f"# req {ri}: engine={got_n} solo_n={int(n)} "
+                  f"reason={reason} frames_agreeing={agree}/{got_n}",
+                  file=sys.stderr)
+    util = eng.stats.frames_emitted / max(
+        eng.stats.steps * eng.frames_per_step * n_slots, 1)
+
+    # --- lockstep arm ---------------------------------------------------
+    # Batches of `n_slots` in arrival order; each batch pays its longest
+    # row (the per-batch cap emulates EOS-at-natural-length, which is
+    # GENEROUS to lockstep: one fused program, no per-frame dispatch).
+    # Cap is fixed at max_f for all batches so the arm compiles once.
+    order = list(range(n_requests))
+    b0 = order[:n_slots]
+    generate_tokens_batch(  # warmup/compile at the PRODUCTION max_frames
+        model, [prompts[i][0] for i in b0], [prompts[i][1] for i in b0],
+        max_f, temperature=0.0)
+    lock_wall = 0.0
+    for s0 in range(0, n_requests, n_slots):
+        chunk = order[s0:s0 + n_slots]
+        while len(chunk) < n_slots:  # pad the ragged tail like serve.py
+            chunk.append(chunk[-1])
+        t0 = time.perf_counter()
+        generate_tokens_batch(
+            model, [prompts[i][0] for i in chunk],
+            [prompts[i][1] for i in chunk], max_f, temperature=0.0)
+        dt = time.perf_counter() - t0
+        # This batch would have stopped at its longest row's EOS:
+        lock_wall += (dt / max_f) * float(max(lengths[i] for i in chunk))
+    cont_rtf = audio_sec / cont_wall
+    lock_rtf = audio_sec / lock_wall
+    print(json.dumps({
+        "metric": "continuous_vs_lockstep_aggregate_rtf",
+        "value": round(cont_rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(cont_rtf / lock_rtf, 3),
+        "lockstep_rtf": round(lock_rtf, 2),
+        "continuous_wall_s": round(cont_wall, 3),
+        "lockstep_wall_s": round(lock_wall, 3),
+        "audio_sec": round(audio_sec, 1),
+        "n_requests": n_requests,
+        "n_slots": n_slots,
+        "frames_per_step": frames_per_step,
+        "slot_utilization": round(util, 3),
+        "steps": eng.stats.steps,
+        "rebases": eng.stats.rebases,
+        "length_mismatches": len(mismatches),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

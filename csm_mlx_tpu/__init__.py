@@ -52,9 +52,12 @@ __all__ = [
     "CSMTrainer",
     "TrainArgs",
     "load_adapters",
+    "TTSServer",
+    "ContinuousTTSServer",
+    "ContinuousEngine",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def __getattr__(name):
@@ -73,4 +76,12 @@ def __getattr__(name):
         from csm_mlx_tpu.finetune.lora import load_adapters
 
         return load_adapters
+    if name in ("TTSServer", "ContinuousTTSServer"):
+        from csm_mlx_tpu import serve as _srv
+
+        return getattr(_srv, name)
+    if name == "ContinuousEngine":
+        from csm_mlx_tpu.continuous import ContinuousEngine
+
+        return ContinuousEngine
     raise AttributeError(f"module 'csm_mlx_tpu' has no attribute {name!r}")

@@ -33,6 +33,12 @@ def add_parser(subparsers) -> None:
     p.add_argument("--temperature", "--temp", "-t", type=float, default=0.8)
     p.add_argument("--watermark-key", type=int, default=None,
                    help="Watermark every generated waveform with this key")
+    p.add_argument("--continuous", action="store_true",
+                   help="Continuous batching: per-slot admission into one "
+                        "always-running batched frame loop (finished rows "
+                        "recycle immediately; best under mixed lengths)")
+    p.add_argument("--slots", type=int, default=16,
+                   help="Continuous mode: concurrent generation slots")
     p.set_defaults(func=run)
 
 
@@ -46,7 +52,7 @@ def run(args: argparse.Namespace) -> None:
         parse_weight_argument,
     )
     from csm_mlx_tpu.finetune.lora import load_adapters
-    from csm_mlx_tpu.serve import TTSServer, serve_http
+    from csm_mlx_tpu.serve import ContinuousTTSServer, TTSServer, serve_http
 
     model_config = MODEL[args.model]
     weight = parse_weight_argument(args.weight)
@@ -60,11 +66,18 @@ def run(args: argparse.Namespace) -> None:
     if args.quantize:
         quantize(csm, mode="w8a8")
 
-    server = TTSServer(
-        csm, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        max_audio_length_ms=args.max_audio_length,
-        temperature=args.temperature, watermark_key=args.watermark_key,
-    )
+    if args.continuous:
+        server = ContinuousTTSServer(
+            csm, n_slots=args.slots,
+            max_audio_length_ms=args.max_audio_length,
+            temperature=args.temperature, watermark_key=args.watermark_key,
+        )
+    else:
+        server = TTSServer(
+            csm, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            max_audio_length_ms=args.max_audio_length,
+            temperature=args.temperature, watermark_key=args.watermark_key,
+        )
 
     async def main():
         http = await serve_http(server, host=args.host, port=args.port)

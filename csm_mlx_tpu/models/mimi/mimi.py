@@ -171,6 +171,32 @@ def mimi_encode_step_fn(
     )
 
 
+def reset_decode_row(state: MimiDecodeState, row) -> MimiDecodeState:
+    """Recycle one batch row of a streaming decode state for a new stream.
+
+    Continuous batching admits a new logical stream into a finished row of a
+    shared batched state. The conv/SEANet carries reset to their t=0 value
+    (zeros); the transformer ring keeps the shared absolute `index` but sets
+    the row's `start` there, so the sliding-window mask hides the dead
+    predecessor's keys. Rotary attention is relative, so the row is then
+    numerically a fresh stream (up to rotary phase rounding). `row` may be a
+    traced index — the whole function is jittable.
+    """
+    tr = state.transformer
+    tr = dataclasses.replace(
+        tr,
+        start=tr.start.at[row].set(tr.index),
+        k=tr.k.at[:, row].set(0),
+        v=tr.v.at[:, row].set(0),
+    )
+    zero_row = lambda leaf: leaf.at[row].set(jnp.zeros((), leaf.dtype))
+    return MimiDecodeState(
+        transformer=tr,
+        upsample=jax.tree_util.tree_map(zero_row, state.upsample),
+        seanet=jax.tree_util.tree_map(zero_row, state.seanet),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public class (facade the tokenizer layer builds on)
 # ---------------------------------------------------------------------------

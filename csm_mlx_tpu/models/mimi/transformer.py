@@ -59,6 +59,12 @@ class RingKVCache:
     k: jax.Array  # (L, B, H_kv, W, D)
     v: jax.Array
     index: jax.Array  # () int32 — absolute next position
+    # (B,) int32 — first absolute position each row may attend to. Rows
+    # all share `index` (one batched stream), but a slot recycled for a new
+    # logical stream (continuous batching) must not see its predecessor's
+    # window; rotary attention is relative, so masking keys below `start`
+    # makes the row exact-equivalent to a fresh stream begun at `start`.
+    start: jax.Array
 
     @staticmethod
     def init(cfg: MimiConfig, batch: int, dtype=jnp.float32) -> "RingKVCache":
@@ -72,6 +78,7 @@ class RingKVCache:
             k=jnp.zeros(shape, dtype=dtype),
             v=jnp.zeros(shape, dtype=dtype),
             index=jnp.zeros((), jnp.int32),
+            start=jnp.zeros((batch,), jnp.int32),
         )
 
     @property
@@ -119,7 +126,7 @@ def _attn(
         q_pos = positions  # (B, S) absolute
         valid = (p_slot[None, None, :] <= q_pos[:, :, None]) & (
             p_slot[None, None, :] > q_pos[:, :, None] - cfg.sliding_window
-        ) & (p_slot[None, None, :] >= 0)
+        ) & (p_slot[None, None, :] >= cache.start[:, None, None])
         bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
         out = sdpa(q, k_full, v_full, scale=d ** -0.5, mask_bias=bias)
     else:

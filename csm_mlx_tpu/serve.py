@@ -311,6 +311,129 @@ class TTSServer:
                 p.future.set_result(row)
 
 
+class ContinuousTTSServer:
+    """Serving front-end over the continuous-batching engine.
+
+    Same public surface as `TTSServer` (synthesize / synthesize_stream /
+    start / stop / stats — `serve_http` accepts either), but every request
+    is a slot in ONE always-running batched frame loop
+    (`csm_mlx_tpu.continuous.ContinuousEngine`): a finished row is recycled
+    immediately instead of waiting for the whole batch, streaming and
+    batch-style requests share the device without a lock, and audio chunks
+    leave per-frame for every caller (decode-behind fused Mimi step).
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        n_slots: int = 16,
+        max_audio_length_ms: float = 30_000,
+        max_prompt_bucket: int = 512,
+        temperature: float = 0.8,
+        sampler: Optional[Any] = None,
+        watermark_key: Optional[int] = None,
+        engine: Optional[Any] = None,
+    ):
+        from csm_mlx_tpu.continuous import ContinuousEngine
+
+        max_frames = int(max_audio_length_ms / 80.0)
+        self.model = model
+        self.max_audio_length_ms = max_audio_length_ms
+        self.watermark_key = watermark_key
+        self.engine = engine or ContinuousEngine(
+            model, n_slots=n_slots, max_frames=max_frames,
+            max_prompt_bucket=max_prompt_bucket, temperature=temperature,
+            sampler=sampler, codec=True)
+        self.stats = ServerStats()
+        self._started = False
+
+    async def start(self) -> None:
+        self.engine.start()
+        self._started = True
+
+    async def stop(self) -> None:
+        self.engine.stop()
+        self._started = False
+
+    async def synthesize(self, text: str, speaker: int = 0,
+                         context: Sequence = ()) -> np.ndarray:
+        """One utterance -> float32 24 kHz waveform (a recycled engine slot)."""
+        if not self._started:
+            await self.start()
+        loop = asyncio.get_running_loop()
+        t0 = time.monotonic()
+        res = self.engine.submit(text, speaker, tuple(context))
+        fut: asyncio.Future = loop.create_future()
+
+        def collect() -> None:
+            # Dedicated waiter thread (not the shared executor): hundreds of
+            # concurrent requests must not exhaust the default thread pool.
+            try:
+                res.done.wait()
+                audio = res.audio()
+            except BaseException as exc:
+                loop.call_soon_threadsafe(
+                    lambda: fut.done() or fut.set_exception(exc))
+            else:
+                loop.call_soon_threadsafe(
+                    lambda: fut.done() or fut.set_result(audio))
+
+        threading.Thread(target=collect, daemon=True).start()
+        try:
+            audio = await fut
+        except BaseException:
+            res.cancel()
+            raise
+        if self.watermark_key is not None:
+            from csm_mlx_tpu.watermark import embed_watermark
+
+            audio = np.asarray(embed_watermark(audio, self.watermark_key))
+        self.stats.requests += 1
+        self.stats.generate_seconds += time.monotonic() - t0
+        self.stats.audio_seconds += audio.shape[-1] / SAMPLING_RATE
+        return audio
+
+    async def synthesize_stream(self, text: str, speaker: int = 0,
+                                context: Sequence = ()):
+        """Async iterator of 1,920-sample float32 chunks. Unlike the
+        lockstep server there is no device lock: any number of streams
+        ride the same batched frame loop concurrently."""
+        if not self._started:
+            await self.start()
+        loop = asyncio.get_running_loop()
+        res = self.engine.submit(text, speaker, tuple(context))
+        q: asyncio.Queue = asyncio.Queue()
+        done = object()
+
+        def pump() -> None:
+            try:
+                for chunk in res.chunks():
+                    loop.call_soon_threadsafe(q.put_nowait, chunk)
+            except Exception as exc:
+                loop.call_soon_threadsafe(q.put_nowait, exc)
+            else:
+                loop.call_soon_threadsafe(q.put_nowait, done)
+
+        threading.Thread(target=pump, daemon=True).start()
+        t0 = time.monotonic()
+        n_samples = 0
+        try:
+            while True:
+                item = await q.get()
+                if item is done:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                n_samples += item.shape[-1]
+                yield item
+            self.stats.requests += 1
+            self.stats.generate_seconds += time.monotonic() - t0
+            self.stats.audio_seconds += n_samples / SAMPLING_RATE
+        finally:
+            res.cancel()  # no-op when already complete; frees the slot else
+
+
 def wav_bytes(audio: np.ndarray, sample_rate: int = SAMPLING_RATE) -> bytes:
     """16-bit PCM RIFF/WAVE encoding of a float waveform (in-memory)."""
     pcm = (np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)

@@ -1,0 +1,157 @@
+"""Continuous batching engine (csm_mlx_tpu/continuous.py).
+
+The load-bearing claim is EXACT token parity: a request admitted into a
+running batch mid-flight — spliced into a recycled row of a shared KV cache
+via the virtual-left-pad trick — must produce the same greedy tokens as a
+fresh one-shot `generate_tokens` run. Also covered: slot recycling across
+more requests than slots, in-place cache compaction (rebase), the decode-
+behind codec path with per-row Mimi state recycling, and zero-frame EOS."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import tiny_args
+from csm_mlx_tpu.continuous import ContinuousEngine
+from csm_mlx_tpu.generation import generate_tokens
+from csm_mlx_tpu.models.csm import CSM
+
+
+@pytest.fixture(scope="module")
+def model():
+    return CSM(tiny_args(n_codebooks=8), dtype=jnp.float32,
+               rng=jax.random.PRNGKey(0))
+
+
+def _prompt(args, s, seed=0):
+    rng = np.random.RandomState(seed)
+    k = args.n_audio_codebooks + 1
+    prompt = np.zeros((s, k), dtype=np.int32)
+    prompt[:, -1] = rng.randint(3, 200, size=s)
+    mask = np.zeros((s, k), dtype=np.int32)
+    mask[:, -1] = 1
+    return prompt, mask
+
+
+def _solo(model, prompt, mask, max_frames):
+    frames, n = generate_tokens(model, prompt, mask, max_frames,
+                                temperature=0.0)
+    return np.asarray(frames[:int(n)])
+
+
+def _engine(model, **kw):
+    kw.setdefault("n_slots", 2)
+    kw.setdefault("max_frames", 12)
+    kw.setdefault("max_prompt_bucket", 32)
+    kw.setdefault("capacity_slack", 16)
+    kw.setdefault("codec", False)
+    # 3 frames per dispatched block: exercises caps/EOS landing mid-block
+    # AND on block edges across the varying max_frames used below.
+    kw.setdefault("frames_per_step", 3)
+    kw.setdefault("key", jax.random.PRNGKey(7))
+    return ContinuousEngine(model, **kw)
+
+
+def test_single_request_matches_generate_tokens(model):
+    eng = _engine(model, frames_per_step=1)  # K=1: per-frame stepping
+    p, m = _prompt(model.args, 5, seed=1)
+    res = eng.submit_prompt(p, m, max_frames=6)
+    eng.run_until_idle()
+    got = res.wait(timeout=0)
+    np.testing.assert_array_equal(got, _solo(model, p, m, 6))
+    assert eng.stats.completed == 1
+
+
+def test_midflight_admission_parity(model):
+    """A row admitted while another is mid-generation produces exactly the
+    tokens of a fresh solo run — the virtual-left-pad splice is exact."""
+    eng = _engine(model)
+    pa, ma = _prompt(model.args, 5, seed=2)
+    pb, mb = _prompt(model.args, 7, seed=3)
+    ra = eng.submit_prompt(pa, ma, max_frames=12)
+    for _ in range(4):  # A runs several frames before B exists
+        assert eng._drive_once()
+    steps_before_b = eng.stats.steps
+    assert steps_before_b >= 4
+    rb = eng.submit_prompt(pb, mb, max_frames=5)
+    eng.run_until_idle()
+    np.testing.assert_array_equal(ra.wait(0), _solo(model, pa, ma, 12))
+    np.testing.assert_array_equal(rb.wait(0), _solo(model, pb, mb, 5))
+    assert eng.stats.admissions == 2
+
+
+def test_slot_reuse_many_requests(model):
+    """5 mixed-length requests through 2 slots: every stream recycles a row
+    (fresh pad splice, history reset) and still matches its solo run."""
+    eng = _engine(model, pipeline_depth=3)
+    reqs = []
+    for i, mf in enumerate([3, 7, 2, 5, 4]):
+        p, m = _prompt(model.args, 4 + i, seed=10 + i)
+        reqs.append((eng.submit_prompt(p, m, max_frames=mf), p, m, mf))
+    eng.run_until_idle()
+    for res, p, m, mf in reqs:
+        np.testing.assert_array_equal(res.wait(0), _solo(model, p, m, mf))
+    assert eng.stats.completed == 5
+    assert eng.stats.admissions == 5
+
+
+def test_rebase_compaction_parity(model):
+    """With a deliberately tiny cache the engine must compact (roll) the
+    slot axis mid-service; positions are pad-relative so tokens still match
+    solo runs exactly."""
+    eng = _engine(model, max_frames=8, capacity_slack=4)
+    assert eng.capacity == 32 + 8 + 4
+    reqs = []
+    for i in range(6):
+        p, m = _prompt(model.args, 5 + (i % 3), seed=20 + i)
+        reqs.append((eng.submit_prompt(p, m, max_frames=8), p, m))
+    eng.run_until_idle()
+    assert eng.stats.rebases >= 1
+    for res, p, m in reqs:
+        np.testing.assert_array_equal(res.wait(0), _solo(model, p, m, 8))
+
+
+def test_zero_frame_eos_via_sampler(model):
+    """A sampler that emits all-zero frames makes every stream EOS before
+    its first step: the admit-time EOS path must complete the request with
+    zero frames and free the slot."""
+    zero_sampler = lambda key, logits: jnp.zeros(logits.shape[:-1],
+                                                 dtype=jnp.int32)
+    eng = _engine(model, sampler=zero_sampler)
+    p, m = _prompt(model.args, 5, seed=30)
+    r1 = eng.submit_prompt(p, m, max_frames=6)
+    r2 = eng.submit_prompt(p, m, max_frames=6)
+    eng.run_until_idle()
+    assert r1.wait(0).shape[0] == 0
+    assert r2.wait(0).shape[0] == 0
+    assert eng.stats.completed == 2
+
+
+@pytest.mark.slow
+def test_codec_continuity_on_recycled_row(model, monkeypatch):
+    """With the fused decode-behind codec, a stream on a recycled row must
+    produce the same audio as a fresh batch Mimi decode of its tokens (the
+    per-row ring `start` hides the dead predecessor's sliding window; the
+    conv carries reset to zeros)."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    eng = _engine(model, n_slots=1, codec=True, max_frames=6)
+    mimi = eng._mimi
+
+    outs = []
+    for i in range(2):  # request 2 recycles request 1's only slot
+        p, m = _prompt(model.args, 5, seed=40 + i)
+        outs.append(eng.submit_prompt(p, m, max_frames=6))
+    eng.run_until_idle()
+    for res in outs:
+        tokens = res.wait(0)
+        assert tokens.shape[0] > 0
+        audio = res.audio()
+        assert audio.shape[0] == tokens.shape[0] * mimi.frame_size
+        codes = jnp.asarray(tokens.T[None], dtype=jnp.int32)
+        ref = np.asarray(mimi.decode(codes))[0, 0]
+        scale = max(np.abs(ref).max(), 1e-3)
+        np.testing.assert_allclose(audio, ref, atol=2e-3 * scale)
+    tok_mod.get_audio_tokenizer.cache_clear()

@@ -232,6 +232,67 @@ def test_padded_bucket_clamps_to_max_batch(offline_tokenizers, model,
     assert 3 in seen and all(s <= 3 for s in seen)
 
 
+def test_continuous_server_mixed_requests(offline_tokenizers, model):
+    """ContinuousTTSServer: batch-style and streaming callers share the
+    always-running slot loop; more requests than slots recycle rows."""
+    from csm_mlx_tpu.serve import ContinuousTTSServer
+
+    async def main():
+        server = ContinuousTTSServer(model, n_slots=2, max_prompt_bucket=32,
+                                     max_audio_length_ms=400, temperature=0.0)
+
+        async def one_stream():
+            chunks = []
+            async for c in server.synthesize_stream("stream req"):
+                chunks.append(c)
+            return chunks
+
+        results = await asyncio.gather(
+            *[server.synthesize(f"cont {i}") for i in range(4)],
+            one_stream(),
+        )
+        await server.stop()
+        return server, results
+
+    server, results = asyncio.run(main())
+    waves, chunks = results[:4], results[4]
+    for w in waves:
+        assert isinstance(w, np.ndarray) and w.ndim == 1
+        assert w.size > 0 and w.size % 1920 == 0
+    assert len(chunks) >= 1 and all(c.shape == (1920,) for c in chunks)
+    assert server.stats.requests == 5
+    assert server.engine.stats.completed == 5
+    # 5 requests through 2 slots -> rows were recycled.
+    assert server.engine.stats.admissions == 5
+
+
+def test_continuous_server_http_front_end(offline_tokenizers, model):
+    """serve_http accepts the continuous server (same duck-typed surface)."""
+    from csm_mlx_tpu.serve import ContinuousTTSServer
+
+    async def main():
+        server = ContinuousTTSServer(model, n_slots=2, max_prompt_bucket=32,
+                                     max_audio_length_ms=400, temperature=0.0)
+        http = await serve_http(server, host="127.0.0.1", port=0)
+        port = http.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"text": "over http"}).encode()
+        writer.write(
+            f"POST /tts HTTP/1.1\r\nContent-Length: {len(body)}\r\n\r\n"
+            .encode() + body)
+        await writer.drain()
+        payload = await reader.read()
+        writer.close()
+        http.close()
+        await http.wait_closed()
+        await server.stop()
+        return payload
+
+    payload = asyncio.run(main())
+    head, _, wav = payload.partition(b"\r\n\r\n")
+    assert b"200 OK" in head and wav[:4] == b"RIFF"
+
+
 def test_wav_bytes_layout():
     audio = np.sin(np.linspace(0, 10, 2400)).astype(np.float32)
     data = wav_bytes(audio, 24000)
