@@ -128,24 +128,36 @@ def _backbone_step(
     return hidden[:, -1, :], cache
 
 
-def _use_resident_decoder(params, sampler, b: int) -> bool:
+def _use_resident_decoder(params, sampler, b: int) -> int:
     """Trace-time gate for the VMEM-resident frame kernel: prepared tables
-    present, small lockstep batch, simple sampler, not disabled, and a
-    backend whose Pallas supports the kernel (TPU; CPU only via interpret
-    mode in tests, which set CSM_TPU_RESIDENT_DECODER=interpret)."""
+    present, simple sampler, not disabled, and a backend whose Pallas
+    supports the kernel (TPU; CPU only via interpret mode in tests, which
+    set CSM_TPU_RESIDENT_DECODER=interpret).
+
+    Returns the number of kernel calls per frame: 0 = unusable (dispatched
+    path), 1 = the whole batch in one call, n > 1 = the batch split into n
+    chunks of <= CSM_TPU_RESIDENT_MAX_BATCH rows each (a B=48 chunk maxes
+    the ~128 MB VMEM; larger lockstep batches pay one extra ~106 MB weight
+    load per chunk per frame, still ~15x fewer decoder HBM bytes than the
+    dispatched path's 31 re-streams). `CSM_TPU_RESIDENT_CHUNK=0` restores
+    the round-2 behavior (dispatched past max batch)."""
     flag = os.environ.get("CSM_TPU_RESIDENT_DECODER", "1")
     max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"))
-    if flag == "0" or "_resident" not in params or b > max_b:
-        return False
+    if flag == "0" or "_resident" not in params:
+        return 0
+    n_chunks = -(-b // max_b)
+    if n_chunks > 1 and os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1") == "0":
+        return 0
     from csm_mlx_tpu.ops.resident_decoder import sampler_supported
 
     if not sampler_supported(sampler):
-        return False
+        return 0
     if jax.default_backend() == "cpu":
         # Interpret mode (tests) only; the TPU PRNG primitive behind the
         # temperature path has no CPU lowering, so greedy only.
-        return flag == "interpret" and sampler.temperature == 0.0
-    return True
+        if flag != "interpret" or sampler.temperature != 0.0:
+            return 0
+    return n_chunks
 
 
 def _decode_frame(
@@ -185,19 +197,30 @@ def _decode_frame(
     x01 = jnp.stack([last_hidden, c0_emb], axis=1)  # (B, 2, D_backbone)
     proj01 = linear(params["projection"], x01)
 
-    # --- VMEM-resident whole-frame kernel (small-batch fast path) -------
+    # --- VMEM-resident whole-frame kernel (lockstep-batch fast path) ----
     # One pallas_call runs the prime + all 30 decoder steps with the int8
     # decoder weights loaded into VMEM once (ops/resident_decoder.py); the
-    # dispatched path below re-streams all weights on every step.
-    if _use_resident_decoder(params, sampler, b):
+    # dispatched path below re-streams all weights on every step. Batches
+    # past the per-call VMEM ceiling split into equal chunks of their own
+    # kernel calls (one extra weight load each — still far cheaper than 31
+    # re-streams).
+    n_chunks = _use_resident_decoder(params, sampler, b)
+    if n_chunks:
         from csm_mlx_tpu.ops.resident_decoder import resident_decode_frame
 
         key, ks = jax.random.split(key)
-        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
-                                  dtype=jnp.int32)
-        toks = resident_decode_frame(
-            params["_resident"], args, proj01.transpose(1, 0, 2),
-            seed, sampler.temperature)  # (n_cb, B)
+        seeds = jax.random.randint(ks, (n_chunks,), 0,
+                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        proj01_t = proj01.transpose(1, 0, 2)  # (2, B, d_decoder)
+        cs = -(-b // n_chunks)
+        parts = []
+        for ci in range(n_chunks):
+            lo = ci * cs
+            hi = min(b, lo + cs)
+            parts.append(resident_decode_frame(
+                params["_resident"], args, proj01_t[:, lo:hi, :],
+                seeds[ci:ci + 1], sampler.temperature))  # (n_cb, hi-lo)
+        toks = parts[0] if n_chunks == 1 else jnp.concatenate(parts, axis=1)
         frame = jnp.concatenate([c0[:, None], toks[1:].transpose(1, 0)],
                                 axis=1).astype(jnp.int32)
         return frame, key, history
@@ -272,6 +295,7 @@ def _resident_env_key() -> Tuple[str, ...]:
     next call instead of silently reusing the old compiled loop."""
     return (os.environ.get("CSM_TPU_RESIDENT_DECODER", "1"),
             os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"),
+            os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1"),
             os.environ.get("CSM_TPU_FLASH_PREFILL", "1"))
 
 

@@ -252,9 +252,10 @@ class TTSServer:
         target = 1
         while target < len(texts):
             target *= 2
-        # Clamp to max_batch: with max_batch=48 (the resident decoder
-        # kernel's VMEM cap) a 33..48-row batch must bucket to 48, not 64 —
-        # 64 would silently fall off the kernel onto the dispatched path.
+        # Clamp to max_batch. Batches past the resident decoder kernel's
+        # per-call VMEM cap (48) chunk into multiple kernel calls and stay
+        # at the ~500x aggregate plateau (PERFORMANCE.md), so max_batch is
+        # purely a latency/HBM admission bound, not a kernel cliff.
         target = min(target, self.max_batch)
         # Sharded generation additionally requires the batch to divide
         # evenly over the mesh "data" axis.

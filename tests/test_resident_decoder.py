@@ -221,6 +221,43 @@ def test_shard_model_with_resident_tables(quant_model):
     assert "_resident" in quant_model.params  # original untouched
 
 
+def test_chunked_resident_matches_single_call(quant_model, monkeypatch):
+    """Batches past CSM_TPU_RESIDENT_MAX_BATCH split into multiple kernel
+    calls (generation._decode_frame); greedy tokens must match the
+    one-call kernel row for row."""
+    from csm_mlx_tpu import generation
+    from csm_mlx_tpu.ops.rope import rope_cache_for
+    from csm_mlx_tpu.ops.sampling import SamplerConfig
+
+    monkeypatch.setenv("CSM_TPU_RESIDENT_DECODER", "interpret")
+    model = quant_model
+    args = model.args
+    b = 5
+    hidden = jax.random.normal(
+        jax.random.PRNGKey(21), (b, args.backbone_config.hidden_size)) * 0.3
+    cos_d, sin_d = rope_cache_for(args.decoder_config,
+                                  args.n_audio_codebooks + 1)
+    history = jnp.full((b, generation.HISTORY_SIZE), -1, jnp.int32)
+    sampler = SamplerConfig(temperature=0.0)
+
+    def run():
+        frame, _, _ = generation._decode_frame(
+            model.params, args, hidden, jax.random.PRNGKey(0), history,
+            sampler, (), cos_d, sin_d)
+        return np.asarray(frame)
+
+    monkeypatch.setenv("CSM_TPU_RESIDENT_MAX_BATCH", "16")
+    assert generation._use_resident_decoder(model.params, sampler, b) == 1
+    single = run()
+    monkeypatch.setenv("CSM_TPU_RESIDENT_MAX_BATCH", "2")
+    assert generation._use_resident_decoder(model.params, sampler, b) == 3
+    chunked = run()  # chunk rows (2, 2, 1)
+    np.testing.assert_array_equal(single, chunked)
+    # opting out restores the dispatched path past the max batch
+    monkeypatch.setenv("CSM_TPU_RESIDENT_CHUNK", "0")
+    assert generation._use_resident_decoder(model.params, sampler, b) == 0
+
+
 def test_sampler_gate():
     from csm_mlx_tpu.ops.sampling import SamplerConfig
 
