@@ -143,7 +143,7 @@ def _use_resident_decoder(params, sampler, b: int) -> int:
     the round-2 behavior (dispatched past max batch)."""
     flag = os.environ.get("CSM_TPU_RESIDENT_DECODER", "1")
     max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"))
-    if flag == "0" or "_resident" not in params:
+    if flag == "0" or max_b <= 0 or "_resident" not in params:
         return 0
     n_chunks = -(-b // max_b)
     if n_chunks > 1 and os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1") == "0":

@@ -322,6 +322,13 @@ class ContinuousTTSServer:
     immediately instead of waiting for the whole batch, streaming and
     batch-style requests share the device without a lock, and audio chunks
     leave per-frame for every caller (decode-behind fused Mimi step).
+
+    Stats semantics differ from `TTSServer`: with one always-running shared
+    frame loop there is no per-request device wall, so `generate_seconds`
+    accrues request LATENCY (admission wait + generation + consumption) and
+    `aggregate_rtf` is a concurrency-inclusive figure, not a device-time
+    RTF. The scheduler's own counters (steps, admissions, frames emitted/
+    wasted) ride `self.engine.stats` and the HTTP `/stats` payload.
     """
 
     def __init__(
@@ -370,9 +377,16 @@ class ContinuousTTSServer:
         def collect() -> None:
             # Dedicated waiter thread (not the shared executor): hundreds of
             # concurrent requests must not exhaust the default thread pool.
+            # Watermarking (a whole-utterance STFT) also runs here — tens of
+            # ms per request must not stall the event loop.
             try:
                 res.done.wait()
                 audio = res.audio()
+                if self.watermark_key is not None:
+                    from csm_mlx_tpu.watermark import embed_watermark
+
+                    audio = np.asarray(embed_watermark(
+                        audio, self.watermark_key))
             except BaseException as exc:
                 loop.call_soon_threadsafe(
                     lambda: fut.done() or fut.set_exception(exc))
@@ -386,10 +400,6 @@ class ContinuousTTSServer:
         except BaseException:
             res.cancel()
             raise
-        if self.watermark_key is not None:
-            from csm_mlx_tpu.watermark import embed_watermark
-
-            audio = np.asarray(embed_watermark(audio, self.watermark_key))
         self.stats.requests += 1
         self.stats.generate_seconds += time.monotonic() - t0
         self.stats.audio_seconds += audio.shape[-1] / SAMPLING_RATE
@@ -492,11 +502,21 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                 writer.write(_http_response("200 OK", "text/plain", b"ok"))
             elif method == "GET" and path == "/stats":
                 s = server.stats
-                payload = json.dumps({
+                stats = {
                     "requests": s.requests, "batches": s.batches,
                     "batch_sizes": list(s.batch_sizes),
                     "aggregate_rtf": s.aggregate_rtf,
-                }).encode()
+                }
+                engine = getattr(server, "engine", None)
+                if engine is not None:  # continuous server: scheduler view
+                    es = engine.stats
+                    stats["engine"] = {
+                        "steps": es.steps, "admissions": es.admissions,
+                        "completed": es.completed, "rebases": es.rebases,
+                        "frames_emitted": es.frames_emitted,
+                        "frames_wasted": es.frames_wasted,
+                    }
+                payload = json.dumps(stats).encode()
                 writer.write(_http_response("200 OK", "application/json", payload))
             elif method == "POST" and path == "/tts-stream":
                 try:

@@ -128,6 +128,89 @@ def test_zero_frame_eos_via_sampler(model):
     assert eng.stats.completed == 2
 
 
+def test_max_frames_one_caps_at_admission(model):
+    """The per-request cap must bind from the very first frame: the admit
+    path appends frame 0, so max_frames=1 finishes there (reason 'cap')
+    with exactly one frame — not two."""
+    eng = _engine(model)
+    p, m = _prompt(model.args, 5, seed=4)
+    res = eng.submit_prompt(p, m, max_frames=1)
+    eng.run_until_idle()
+    got = res.wait(timeout=0)
+    assert got.shape[0] == 1
+    assert res.finish_reason == "cap"
+    np.testing.assert_array_equal(got, _solo(model, p, m, 1))
+
+
+def test_max_frames_one_with_codec_flushes_chunk(model):
+    """Cap-at-admission with the codec on: the single frame's decode-behind
+    chunk (computed by the next step block) must still be delivered before
+    the stream finishes."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    eng = _engine(model, n_slots=1, codec=True)
+    p, m = _prompt(model.args, 5, seed=5)
+    res = eng.submit_prompt(p, m, max_frames=1)
+    eng.run_until_idle()
+    assert res.wait(0).shape[0] == 1
+    assert res.finish_reason == "cap"
+    assert res.audio().shape[0] == eng._mimi.frame_size
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
+def test_max_frames_zero_rejected(model):
+    eng = _engine(model)
+    p, m = _prompt(model.args, 5)
+    with pytest.raises(ValueError, match="max_frames"):
+        eng.submit_prompt(p, m, max_frames=0)
+
+
+def test_submit_after_engine_death_raises(model):
+    """Once the drive loop dies the carry is unusable: submits must fail
+    fast instead of enqueueing work nobody will drive."""
+    eng = _engine(model)
+    eng._dead = RuntimeError("device error")
+    p, m = _prompt(model.args, 5)
+    with pytest.raises(RuntimeError, match="died"):
+        eng.submit_prompt(p, m)
+
+
+def test_audio_and_chunks_consumable_repeatedly(model):
+    """The end sentinel is re-enqueued so a second consumer (audio() after
+    a chunks() loop, or audio() twice) terminates instead of hanging."""
+    eng = _engine(model)
+    p, m = _prompt(model.args, 5, seed=6)
+    res = eng.submit_prompt(p, m, max_frames=2)
+    eng.run_until_idle()
+    res.wait(0)
+    assert list(res.chunks()) == []  # codec off: no chunks, just sentinel
+    assert res.audio().shape == (0,)
+    assert res.audio().shape == (0,)  # and again — must not block
+
+
+def test_fail_all_finishes_flush_pending_requests(model):
+    """A cap-finished row whose last chunk is still in flight (slot.req is
+    None but prov_req set) must be failed by _fail_all, not leaked as a
+    forever-pending consumer."""
+    from csm_mlx_tpu.continuous import ContinuousResult
+
+    eng = _engine(model)
+    res = ContinuousResult(4, model.args.n_audio_codebooks)
+    slot = eng._slots[0]
+    slot.req, slot.prov_req, slot.flush_step = None, res, 3
+    eng._fail_all(RuntimeError("stopped"))
+    assert res.done.is_set()
+    assert slot.flush_step is None
+    with pytest.raises(RuntimeError):
+        res.wait(0)
+
+
+def test_capacity_slack_must_cover_step_block(model):
+    with pytest.raises(ValueError, match="capacity_slack"):
+        _engine(model, capacity_slack=2, frames_per_step=3)
+
+
 @pytest.mark.slow
 def test_codec_continuity_on_recycled_row(model, monkeypatch):
     """With the fused decode-behind codec, a stream on a recycled row must

@@ -256,6 +256,10 @@ def test_chunked_resident_matches_single_call(quant_model, monkeypatch):
     # opting out restores the dispatched path past the max batch
     monkeypatch.setenv("CSM_TPU_RESIDENT_CHUNK", "0")
     assert generation._use_resident_decoder(model.params, sampler, b) == 0
+    # MAX_BATCH=0 is a legacy "disable" setting, not a division by zero
+    monkeypatch.delenv("CSM_TPU_RESIDENT_CHUNK")
+    monkeypatch.setenv("CSM_TPU_RESIDENT_MAX_BATCH", "0")
+    assert generation._use_resident_decoder(model.params, sampler, b) == 0
 
 
 def test_sampler_gate():
