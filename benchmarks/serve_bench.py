@@ -56,7 +56,8 @@ def main():
 
     n_requests = int(os.environ.get("N_REQUESTS", "32"))
     seconds = float(os.environ.get("SECONDS", "5"))
-    max_batch = int(os.environ.get("MAX_BATCH", "16"))
+    max_batch = int(os.environ.get("MAX_BATCH", "48"))
+    transfer = os.environ.get("TRANSFER", "int16")
 
     model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
     quantize_model(model, mode="w8a8")
@@ -64,10 +65,13 @@ def main():
     async def run():
         server = TTSServer(model, max_batch=max_batch, max_wait_ms=40,
                            max_audio_length_ms=seconds * 1000,
-                           temperature=0.0)
-        # Warmup: compile the (bucket, batch) programs the run will use.
+                           temperature=0.0, transfer=transfer)
+        # Warmup: issue the SAME burst shape as the timed run so every
+        # (prompt-bucket, batch-bucket) program the run will hit is
+        # compiled (a 24-request burst under max_batch=48 buckets to 32 —
+        # warming only a 48-batch would leave that compile in the timing).
         await asyncio.gather(*[
-            server.synthesize(f"warmup {i}") for i in range(max_batch)])
+            server.synthesize(f"warmup {i}") for i in range(n_requests)])
         server.stats.requests = 0
         server.stats.batches = 0
         server.stats.batch_sizes.clear()
@@ -94,6 +98,7 @@ def main():
         "batches": server.stats.batches,
         "batch_sizes": list(server.stats.batch_sizes),
         "device_rtf": round(server.stats.aggregate_rtf, 2),
+        "transfer": transfer,
     }))
 
 

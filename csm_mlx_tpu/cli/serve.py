@@ -24,8 +24,15 @@ def add_parser(subparsers) -> None:
                    help="LoRA adapter dir (adapter_config.json + adapters.safetensors)")
     p.add_argument("--quantize", action="store_true",
                    help="Quantize to the W8A8 fast path before serving")
-    p.add_argument("--max-batch", type=int, default=8,
-                   help="Coalesce up to this many concurrent requests")
+    p.add_argument("--max-batch", type=int, default=48,
+                   help="Coalesce up to this many concurrent requests "
+                        "(default = the resident kernel's per-call batch, "
+                        "the measured serving sweet spot)")
+    p.add_argument("--transfer", choices=("int16", "float32"),
+                   default="int16",
+                   help="Device->host waveform transfer dtype. int16 halves "
+                        "the transfer bytes and is lossless for the HTTP "
+                        "endpoints (they emit 16-bit PCM anyway)")
     p.add_argument("--max-wait-ms", type=float, default=30.0,
                    help="How long to hold the first request for batchmates")
     p.add_argument("--max-audio-length", "-l", type=int, default=30_000,
@@ -77,6 +84,7 @@ def run(args: argparse.Namespace) -> None:
             csm, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             max_audio_length_ms=args.max_audio_length,
             temperature=args.temperature, watermark_key=args.watermark_key,
+            transfer=args.transfer,
         )
 
     async def main():

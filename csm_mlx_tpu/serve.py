@@ -81,14 +81,30 @@ class TTSServer:
         self,
         model,
         *,
-        max_batch: int = 16,
+        max_batch: int = 48,
         max_wait_ms: float = 30.0,
         max_audio_length_ms: float = 30_000,
         temperature: float = 0.8,
         sampler: Optional[Any] = None,
         watermark_key: Optional[int] = None,
         mesh: Optional[Any] = None,
+        transfer: str = "float32",
     ):
+        """`max_batch` defaults to the resident decoder kernel's per-call
+        VMEM cap (48) — the measured serving sweet spot (PERFORMANCE.md:
+        150x end-to-end at 48 vs 118x at 16 vs 79x at 96, where one huge
+        batch loses the 2-deep compute/transfer pipeline). It only binds
+        under load: light traffic still runs small batches after
+        `max_wait_ms`.
+
+        `transfer="int16"` converts waveforms to 16-bit PCM ON DEVICE and
+        transfers that (half the device->host bytes — significant through
+        a remote-TPU tunnel); callers still receive float32, and the HTTP
+        endpoints emit 16-bit PCM anyway so the roundtrip is lossless for
+        them. Default float32 keeps library results bit-exact with
+        `generate_batch`."""
+        if transfer not in ("float32", "int16"):
+            raise ValueError(f"transfer must be float32|int16, got {transfer}")
         self.model = model
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
@@ -97,6 +113,7 @@ class TTSServer:
         self.sampler = sampler
         self.watermark_key = watermark_key
         self.mesh = mesh
+        self.transfer = transfer
         self.stats = ServerStats()
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
@@ -270,6 +287,7 @@ class TTSServer:
 
         def run_device() -> Tuple[List[Any], float]:
             import jax
+            import jax.numpy as jnp
 
             t0 = time.monotonic()
             rows = generate_batch(
@@ -278,6 +296,11 @@ class TTSServer:
                 temperature=self.temperature, sampler=self.sampler,
                 watermark_key=self.watermark_key, mesh=self.mesh,
             )[:len(batch)]
+            if self.transfer == "int16":
+                # Quantize to 16-bit PCM on device (after watermarking):
+                # the device->host fetch then moves half the bytes.
+                rows = [jnp.clip(jnp.round(r * 32767.0), -32768.0,
+                                 32767.0).astype(jnp.int16) for r in rows]
             # Wait for the compute, but keep the rows on the device: the
             # host transfer happens outside the device lock so the next
             # batch's programs dispatch while these bytes cross the tunnel.
@@ -285,7 +308,13 @@ class TTSServer:
             return rows, time.monotonic() - t0
 
         def fetch(rows_dev) -> List[np.ndarray]:
-            return [np.asarray(r, dtype=np.float32) for r in rows_dev]
+            out = []
+            for r in rows_dev:
+                a = np.asarray(r)
+                if a.dtype == np.int16:
+                    a = a.astype(np.float32) / 32767.0
+                out.append(a.astype(np.float32, copy=False))
+            return out
 
         try:
             async with self._device_lock:

@@ -63,6 +63,29 @@ def test_concurrent_requests_batch_together(offline_tokenizers, model):
     assert server.stats.aggregate_rtf > 0
 
 
+def test_int16_transfer_matches_float32(offline_tokenizers, model):
+    """transfer="int16" quantizes on device and dequantizes on fetch:
+    callers still get float32 within one PCM16 step of the float path."""
+    async def run(transfer):
+        server = TTSServer(model, max_batch=2, max_wait_ms=100,
+                           max_audio_length_ms=400, temperature=0.0,
+                           transfer=transfer)
+        rows = await asyncio.gather(server.synthesize("hello a"),
+                                    server.synthesize("hello b"))
+        await server.stop()
+        return rows
+
+    f32 = asyncio.run(run("float32"))
+    i16 = asyncio.run(run("int16"))
+    for a, b in zip(f32, i16):
+        assert b.dtype == np.float32 and a.shape == b.shape
+        # int16 clips to [-1, 1] (random tiny-model audio can exceed it)
+        np.testing.assert_allclose(np.clip(a, -1.0, 1.0), b,
+                                   atol=1.01 / 32767.0)
+    with pytest.raises(ValueError, match="transfer"):
+        TTSServer(model, transfer="int8")
+
+
 def test_same_text_is_deterministic_at_temp0(offline_tokenizers, model):
     async def main():
         server = TTSServer(model, max_batch=2, max_wait_ms=100,
