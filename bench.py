@@ -56,6 +56,14 @@ def main() -> None:
     dtype = jnp.bfloat16
     model = CSM(csm_1b(), dtype=dtype, rng=jax.random.PRNGKey(0))
     args = model.args
+    # CSM init zeroes audio_head (it is always checkpoint-loaded in
+    # production). A zero head makes every decoder codebook argmax to 0, so
+    # EOS (= all-zero frame) degenerates to "c0 == 0" — a ~1/2051-per-frame
+    # coin that would randomly truncate runs. Random values restore the
+    # bench's premise that random weights never emit EOS.
+    model.params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(3), model.params["audio_head"].shape,
+        dtype=dtype) * 0.02
 
     # Default: the W8A8 MXU-quantized path with fused QKV/gate-up layouts —
     # the fastest measured config (PERFORMANCE.md round 2: RTF 10.6). This

@@ -57,8 +57,16 @@ def main():
     max_f = int(os.environ.get("MAX_FRAMES", "150"))
     seed = int(os.environ.get("SEED", "0"))
     frames_per_step = int(os.environ.get("FRAMES_PER_STEP", "8"))
+    slack = int(os.environ.get("SLACK", "64"))
 
     model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    # Zeroed-init audio_head would make EOS a 1/2051-per-frame coin on c0
+    # (see bench.py) — the source of this bench's occasional spurious
+    # "length mismatch": engine-vs-solo bf16 argmax flips land the c0==0
+    # coin on different frames. Random values restore never-EOS.
+    model.params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(3), model.params["audio_head"].shape,
+        dtype=jnp.bfloat16) * 0.02
     quantize_model(model, mode="w8a8")
     args = model.args
 
@@ -71,11 +79,19 @@ def main():
     # --- continuous arm -------------------------------------------------
     eng = ContinuousEngine(
         model, n_slots=n_slots, max_frames=max_f, max_prompt_bucket=32,
-        capacity_slack=64, temperature=0.0, codec=False,
+        capacity_slack=slack, temperature=0.0, codec=False,
         frames_per_step=frames_per_step, key=jax.random.PRNGKey(1))
-    # Warmup compiles (admit per bucket + step) on a throwaway request.
-    eng.submit_prompt(*prompts[0], max_frames=2)
-    eng.run_until_idle()
+    # Warmup: run the FULL workload once untimed — the scheduler compiles
+    # one admit program per padded admit size (1/2/4/8/16) as slots free up
+    # at different rates, and those compiles are minutes through the remote
+    # tunnel; a single-request warmup left them inside the timed run (which
+    # then measured compiles, not serving). The engine is long-lived by
+    # design, so the timed pass reuses it (recycled slots, warm carry).
+    if os.environ.get("WARM", "1") != "0":
+        for (p, m), f in zip(prompts, lengths):
+            eng.submit_prompt(p, m, max_frames=int(f))
+        eng.run_until_idle()
+        eng.stats = type(eng.stats)()
 
     t0 = time.perf_counter()
     results = [eng.submit_prompt(p, m, max_frames=int(f))

@@ -60,6 +60,11 @@ def main():
     transfer = os.environ.get("TRANSFER", "int16")
 
     model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    # Zeroed-init audio_head would make EOS a 1/2051-per-frame coin on c0
+    # (see bench.py); random values keep streams running to their caps.
+    model.params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(3), model.params["audio_head"].shape,
+        dtype=jnp.bfloat16) * 0.02
     quantize_model(model, mode="w8a8")
 
     async def run():

@@ -819,19 +819,40 @@ def generate_long(
     `pause_ms` inserts silence between sentences. Watermarking is applied
     once over the stitched waveform (whole-utterance STFT framing).
     """
+    from csm_mlx_tpu import tokenizers as tok_mod
     from csm_mlx_tpu.apps.voice_chat import split_sentences
-    from csm_mlx_tpu.segment import Segment
+    from csm_mlx_tpu.segment import SAMPLING_RATE, Segment
 
     sentences = split_sentences(text) or ([text.strip()] if text.strip() else [])
     if key is None:
-        key = jax.random.PRNGKey(0)
+        # Same default as generate(): fresh randomness per run.
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
     ctx = list(context)
     pieces = []
-    from csm_mlx_tpu.segment import SAMPLING_RATE
+
+    # Exact per-segment prompt length (text tokens + Mimi frames + EOS
+    # frame, mirroring tokenize_segment) so the rolling context can be
+    # trimmed by TOKEN budget, not just segment count — long sentences
+    # would otherwise overflow the backbone window mid-synthesis and raise
+    # the very error generate_long exists to avoid.
+    txt_tok = tok_mod.get_text_tokenizer()
+    frame_size = int(SAMPLING_RATE * FRAME_MS / 1000)
+
+    def seg_len(seg: Segment) -> int:
+        text_tokens = len(txt_tok.encode(f"[{seg.speaker}]{seg.text}"))
+        frames = -(-int(np.asarray(seg.audio).shape[-1]) // frame_size)
+        return text_tokens + frames + 1
+
+    max_seg_frames = int(max_segment_audio_ms / FRAME_MS)
+    ctx_cfg = model.args.backbone_config.max_position_embeddings or 2048
+    budget = ctx_cfg - max_seg_frames
 
     gap = (np.zeros((int(pause_ms * SAMPLING_RATE / 1000),), np.float32)
            if pause_ms > 0 else None)
-    for i, sentence in enumerate(sentences):
+    for sentence in sentences:
+        sent_tokens = len(txt_tok.encode(f"[{speaker}]{sentence}"))
+        while ctx and sum(map(seg_len, ctx)) + sent_tokens >= budget:
+            ctx.pop(0)  # drop the oldest voice-context segment
         key, sub = jax.random.split(key)
         audio = generate(
             model, sentence, speaker, tuple(ctx),
@@ -840,11 +861,15 @@ def generate_long(
         )
         if audio.shape[0] == 0:
             continue
-        pieces.append(np.asarray(audio, np.float32))
-        if gap is not None and i + 1 < len(sentences):
-            pieces.append(gap)
-        ctx.append(Segment(speaker, sentence, np.asarray(audio, np.float32)))
-        ctx = ctx[-rolling_context:]
+        host_audio = np.asarray(audio, np.float32)
+        if gap is not None and pieces:
+            pieces.append(gap)  # between pieces only — never a silent tail
+        pieces.append(host_audio)
+        if rolling_context > 0:
+            ctx.append(Segment(speaker, sentence, host_audio))
+            ctx = ctx[-rolling_context:]
+        else:
+            ctx = []  # rolling_context=0: independent sentences
     if not pieces:
         return jnp.zeros((0,), dtype=jnp.float32)
     out = jnp.asarray(np.concatenate(pieces))

@@ -26,7 +26,7 @@ n_micro >= ~4x n_stages for training efficiency.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Optional, Sequence
 
 import jax
@@ -38,14 +38,7 @@ from csm_mlx_tpu.ops.attention import sdpa
 from csm_mlx_tpu.ops.layers import linear, rms_norm, swiglu_mlp
 from csm_mlx_tpu.ops.rope import apply_rope
 
-try:  # jax>=0.6 exports shard_map at top level (check_rep → check_vma)
-    from jax import shard_map as _shard_map
-
-    def shard_map(f, **kw):
-        kw["check_vma"] = kw.pop("check_rep", False)
-        return _shard_map(f, **kw)
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+from csm_mlx_tpu.parallel._compat import shard_map
 
 
 def stack_pipeline_params(layers: Sequence[Any], n_stages: int) -> Any:
@@ -88,12 +81,23 @@ def _stage_apply(stage_params: Any, cfg: LlamaConfig, x: jax.Array,
     for i in range(per):  # static unroll: per-stage layer count is small
         lp = jax.tree.map(lambda a: a[i], stage_params)
         attn, h = lp["self_attn"], rms_norm(lp["input_layernorm"], x, eps)
-        q = linear(attn["q_proj"], h).reshape(
-            b, s, cfg.num_attention_heads, cfg.head_dim)
-        k = linear(attn["k_proj"], h).reshape(
-            b, s, cfg.num_key_value_heads, cfg.head_dim)
-        v = linear(attn["v_proj"], h).reshape(
-            b, s, cfg.num_key_value_heads, cfg.head_dim)
+        if "qkv_proj" in attn:  # fused layout (models.llama.fuse_layer_weights)
+            attn_dim = cfg.num_attention_heads * cfg.head_dim
+            kv_dim = cfg.num_key_value_heads * cfg.head_dim
+            qkv = linear(attn["qkv_proj"], h)
+            q = qkv[..., :attn_dim].reshape(
+                b, s, cfg.num_attention_heads, cfg.head_dim)
+            k = qkv[..., attn_dim:attn_dim + kv_dim].reshape(
+                b, s, cfg.num_key_value_heads, cfg.head_dim)
+            v = qkv[..., attn_dim + kv_dim:].reshape(
+                b, s, cfg.num_key_value_heads, cfg.head_dim)
+        else:
+            q = linear(attn["q_proj"], h).reshape(
+                b, s, cfg.num_attention_heads, cfg.head_dim)
+            k = linear(attn["k_proj"], h).reshape(
+                b, s, cfg.num_key_value_heads, cfg.head_dim)
+            v = linear(attn["v_proj"], h).reshape(
+                b, s, cfg.num_key_value_heads, cfg.head_dim)
         q = apply_rope(q, cos, sin, positions).transpose(0, 2, 1, 3)
         k = apply_rope(k, cos, sin, positions).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
@@ -144,6 +148,37 @@ def pipeline_forward(
             f"{mesh.shape[data_axis]}")
     micro = embeds.reshape((n_micro, mb) + embeds.shape[1:])
 
+    # Batch-dependent positions/mask (the normal left-padded fine-tuning
+    # case) must travel WITH their microbatch through the pipe — stage s at
+    # tick t is processing microbatch t-s, not a shared one. Batch-free
+    # (1, ...) inputs stay replicated, the cheap path.
+    pos_split = positions.shape[0] == b and b > 1
+    mask_split = mask_bias.shape[0] == b and b > 1
+    if pos_split:
+        positions = positions.reshape((n_micro, mb) + positions.shape[1:])
+    if mask_split:
+        mask_bias = mask_bias.reshape((n_micro, mb) + mask_bias.shape[1:])
+
+    fwd = _build_pipeline_fwd(cfg, mesh, n_micro, n_stages, remat,
+                              data_axis, pos_split, mask_split,
+                              _treedef(stacked))
+    out = fwd(stacked, micro, cos, sin, positions, mask_bias)
+    out = out.reshape(embeds.shape)
+    if norm is not None:
+        out = rms_norm(norm, out, cfg.rms_norm_eps)
+    return out
+
+
+def _treedef(tree: Any):
+    return jax.tree.structure(tree)
+
+
+@lru_cache(maxsize=32)
+def _build_pipeline_fwd(cfg, mesh, n_micro, n_stages, remat, data_axis,
+                        pos_split, mask_split, stacked_def):
+    """Cache the shard_map-wrapped schedule per static configuration —
+    rebuilding the closure every call would defeat jax's dispatch cache
+    and re-trace on each eager invocation."""
     stage = partial(_stage_apply, cfg=cfg)
     if remat:
         stage = jax.checkpoint(stage)
@@ -154,36 +189,48 @@ def pipeline_forward(
         ticks = n_micro + n_stages - 1
         out_buf = jnp.zeros_like(micro_all)
         x0 = jnp.zeros(micro_all.shape[1:], micro_all.dtype)
+        pos0 = (jnp.zeros(positions.shape[1:], positions.dtype)
+                if pos_split else None)
+        mask0 = (jnp.zeros(mask_bias.shape[1:], mask_bias.dtype)
+                 if mask_split else None)
 
         def tick(carry, t):
-            x, out_buf = carry
-            feed = micro_all[jnp.minimum(t, n_micro - 1)]
-            x_in = jnp.where(idx == 0, feed, x)
-            y = stage(lp, x=x_in, cos=cos, sin=sin, positions=positions,
-                      mask_bias=mask_bias)
+            (x, pos_c, mask_c), out_buf = carry
+            feed_idx = jnp.minimum(t, n_micro - 1)
+            x_in = jnp.where(idx == 0, micro_all[feed_idx], x)
+            pos_in = (jnp.where(idx == 0, positions[feed_idx], pos_c)
+                      if pos_split else positions)
+            mask_in = (jnp.where(idx == 0, mask_bias[feed_idx], mask_c)
+                       if mask_split else mask_bias)
+            y = stage(lp, x=x_in, cos=cos, sin=sin, positions=pos_in,
+                      mask_bias=mask_in)
             slot = jnp.maximum(t - (n_stages - 1), 0)
             collected = out_buf.at[slot].set(y)
             take = (idx == n_stages - 1) & (t >= n_stages - 1)
             out_buf = jnp.where(take, collected, out_buf)
-            x_next = jax.lax.ppermute(
-                y, "pipe", [(i, i + 1) for i in range(n_stages - 1)])
-            return (x_next, out_buf), None
+            perm = [(i, i + 1) for i in range(n_stages - 1)]
+            x_next = jax.lax.ppermute(y, "pipe", perm)
+            pos_next = (jax.lax.ppermute(pos_in, "pipe", perm)
+                        if pos_split else None)
+            mask_next = (jax.lax.ppermute(mask_in, "pipe", perm)
+                         if mask_split else None)
+            return ((x_next, pos_next, mask_next), out_buf), None
 
-        (_, out_buf), _ = jax.lax.scan(tick, (x0, out_buf), jnp.arange(ticks))
+        ((_, _, _), out_buf), _ = jax.lax.scan(
+            tick, ((x0, pos0, mask0), out_buf), jnp.arange(ticks))
         # Only the last stage's buffer is real; psum broadcasts it.
         return jax.lax.psum(
             jnp.where(idx == n_stages - 1, out_buf, 0.0), "pipe")
 
     micro_spec = P(None, data_axis) if data_axis else P()
-    fwd = shard_map(
+    stacked_specs = jax.tree.unflatten(
+        stacked_def, [P("pipe")] * stacked_def.num_leaves)
+    return shard_map(
         per_device, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P("pipe"), stacked),
-                  micro_spec, P(), P(), P(), P()),
+        in_specs=(stacked_specs, micro_spec,
+                  P(), P(),
+                  micro_spec if pos_split else P(),
+                  micro_spec if mask_split else P()),
         out_specs=micro_spec,
         check_rep=False,
     )
-    out = fwd(stacked, micro, cos, sin, positions, mask_bias)
-    out = out.reshape(embeds.shape)
-    if norm is not None:
-        out = rms_norm(norm, out, cfg.rms_norm_eps)
-    return out

@@ -30,20 +30,14 @@ reference's hard cap.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from csm_mlx_tpu.ops.attention import NEG_INF
-
-try:  # jax>=0.6 exports shard_map at top level (check_rep → check_vma)
-    from jax import shard_map as _shard_map
-
-    def _smap(f, **kw):
-        kw["check_vma"] = kw.pop("check_rep", False)
-        return _shard_map(f, **kw)
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _smap
+from csm_mlx_tpu.parallel._compat import shard_map as _smap
 
 
 def _ring_body(q: jax.Array, k0: jax.Array, v0: jax.Array, scale: float,
@@ -111,12 +105,19 @@ def ring_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     if q.shape[2] % n != 0:
         raise ValueError(f"sequence {q.shape[2]} not divisible by "
                          f"{axis}={n}")
+    return _build_ring(mesh, axis, n, float(scale))(q, k, v)
+
+
+@lru_cache(maxsize=16)
+def _build_ring(mesh: Mesh, axis: str, n: int, scale: float):
+    """Cache the shard_map wrapper per (mesh, axis, scale): rebuilding the
+    closure on every call would defeat jax's dispatch cache and re-trace
+    each eager invocation."""
     spec = P(None, None, axis, None)
-    fn = _smap(
+    return _smap(
         lambda ql, kl, vl: _ring_body(ql, kl, vl, scale, axis, n),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_rep=False)
-    return fn(q, k, v)
 
 
 def shard_sequence(x: jax.Array, mesh: Mesh, axis: str = "seq",

@@ -110,3 +110,39 @@ def test_generate_long_empty_text(offline_tokenizers, model):
 
     out = generate_long(model, "   ", speaker=0, temperature=0.0)
     assert out.shape == (0,)
+
+
+def test_generate_long_rolling_context_zero(offline_tokenizers, model):
+    """rolling_context=0 means independent sentences (ctx[-0:] must not
+    mean 'keep everything'): the output equals the concatenation of solo
+    greedy runs."""
+    from csm_mlx_tpu.generation import generate, generate_long
+
+    out = generate_long(model, "Alpha beta. Gamma delta.", speaker=0,
+                        rolling_context=0, max_segment_audio_ms=240,
+                        temperature=0.0)
+    solos = [np.asarray(generate(model, s, speaker=0,
+                                 max_audio_length_ms=240, temperature=0.0))
+             for s in ("Alpha beta.", "Gamma delta.")]
+    np.testing.assert_array_equal(np.asarray(out), np.concatenate(solos))
+
+
+def test_generate_long_trims_context_to_window(offline_tokenizers):
+    """The rolling context is trimmed by TOKEN budget against the backbone
+    window, not just segment count — a narrow-window model must synthesize
+    many sentences without ever hitting the 'Inputs too long' guard."""
+    import dataclasses
+
+    import csm_mlx_tpu.config as config_mod
+    from csm_mlx_tpu.generation import generate_long
+
+    config_mod.BACKBONE_CONFIGURATION["tiny_narrow"] = dataclasses.replace(
+        config_mod.BACKBONE_CONFIGURATION["tiny"],
+        max_position_embeddings=96)
+    args = dataclasses.replace(tiny_args(n_codebooks=8),
+                               backbone_name="tiny_narrow")
+    narrow = CSM(args, dtype=jnp.float32, rng=jax.random.PRNGKey(1))
+    text = " ".join(f"Sentence number {i} in the long text." for i in range(8))
+    out = generate_long(narrow, text, speaker=0, rolling_context=50,
+                        max_segment_audio_ms=240, temperature=0.0)
+    assert np.asarray(out).shape[0] > 0

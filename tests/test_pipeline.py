@@ -117,6 +117,55 @@ def test_pipeline_weight_gradients_match_single_device():
                                    rtol=5e-3, atol=5e-4)
 
 
+def test_pipeline_per_batch_positions_and_mask():
+    """Left-padded batches carry per-row positions and masks — they must
+    travel WITH each microbatch through the pipe (stage s at tick t runs
+    microbatch t-s), matching the single-device left-padded forward."""
+    from csm_mlx_tpu.ops.attention import NEG_INF, key_validity_bias
+
+    cfg, params, x, cos, sin, _, _ = _setup(b=4, s=6)
+    pad = jnp.asarray([0, 2, 1, 3], jnp.int32)
+    positions = jnp.arange(6)[None] - pad[:, None]          # (B, S)
+    key_valid = jnp.arange(6)[None, :] >= pad[:, None]
+    bias = jnp.maximum(  # (B, 1, S, S), as generation._prefill builds it
+        causal_mask_bias(6, 6)[None, None]
+        + key_validity_bias(key_valid)[:, None], NEG_INF)
+    ref, _ = llama_forward(params, cfg, x, cos, sin, positions, bias, None)
+
+    mesh = create_mesh({"pipe": 2}, devices=jax.devices()[:2])
+    stacked = shard_pipeline_params(
+        stack_pipeline_params(params["layers"], 2), mesh)
+    out = pipeline_forward(stacked, cfg, x, cos, sin, positions, bias,
+                           mesh, n_micro=2, norm=params["norm"])
+    # Rows behind a left pad only matter at unpadded positions.
+    for r in range(4):
+        p = int(pad[r])
+        np.testing.assert_allclose(np.asarray(out)[r, p:],
+                                   np.asarray(ref)[r, p:],
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_fused_qkv_layout_matches_unfused():
+    """Stages whose weights went through fuse_layer_weights (qkv_proj /
+    gateup_proj) must produce the same hidden states."""
+    from csm_mlx_tpu.models.llama import fuse_layer_weights
+
+    cfg, params, x, cos, sin, positions, bias = _setup(b=2, s=6)
+    mesh = create_mesh({"pipe": 2}, devices=jax.devices()[:2])
+    ref, _ = llama_forward(params, cfg, x, cos, sin, positions, bias, None)
+
+    import copy
+
+    fused = copy.deepcopy({"layers": params["layers"]})
+    fuse_layer_weights(fused)
+    stacked = shard_pipeline_params(
+        stack_pipeline_params(fused["layers"], 2), mesh)
+    out = pipeline_forward(stacked, cfg, x, cos, sin, positions, bias,
+                           mesh, n_micro=2, norm=params["norm"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_stack_pipeline_params_shapes():
     cfg, params, *_ = _setup(n_layers=4)
     stacked = stack_pipeline_params(params["layers"], 2)
