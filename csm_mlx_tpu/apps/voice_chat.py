@@ -54,11 +54,18 @@ TTS_SAMPLE_RATE = 24000
 
 
 class AudioIO(Protocol):
-    """Audio device abstraction (sounddevice in production)."""
+    """Audio device abstraction (sounddevice in production).
+
+    `flush_output` / `output_backlog` are optional (looked up with getattr):
+    backends that buffer playback should drop pending audio on barge-in and
+    report how many seconds are still queued so the pipeline can keep the
+    mic gated until the speaker actually goes quiet."""
 
     def start(self, on_input: Callable[[np.ndarray], None]) -> None: ...
     def play(self, chunk: np.ndarray) -> None: ...
     def stop(self) -> None: ...
+    def flush_output(self) -> None: ...
+    def output_backlog(self) -> float: ...
 
 
 class NullAudioIO:
@@ -66,6 +73,7 @@ class NullAudioIO:
 
     def __init__(self):
         self.played: List[np.ndarray] = []
+        self.flushes = 0
         self._on_input = None
 
     def start(self, on_input):
@@ -77,6 +85,12 @@ class NullAudioIO:
 
     def play(self, chunk: np.ndarray):
         self.played.append(np.asarray(chunk))
+
+    def flush_output(self):
+        self.flushes += 1  # a sink has no backlog; count for tests
+
+    def output_backlog(self) -> float:
+        return 0.0
 
     def stop(self):
         pass
@@ -127,6 +141,17 @@ class SoundDeviceIO:
             self._out_buffer = np.append(self._out_buffer,
                                          np.asarray(chunk, dtype=np.float32))
 
+    def flush_output(self):
+        """Drop buffered (unplayed) audio — barge-in must actually silence
+        the speaker, not just stop feeding it (reference :177 clears its
+        output bridge queue on fade-out)."""
+        with self._lock:
+            self._out_buffer = np.zeros((0,), dtype=np.float32)
+
+    def output_backlog(self) -> float:
+        with self._lock:
+            return len(self._out_buffer) / self.out_rate
+
     def stop(self):
         for s in (self._in_stream, self._out_stream):
             if s is not None:
@@ -172,6 +197,7 @@ class TransformersLLM:
             self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.temperature = temperature
+        self.device = device
 
     def _prompt(self, messages: List[dict]) -> str:
         tok = self.tokenizer
@@ -189,6 +215,13 @@ class TransformersLLM:
 
         inputs = self.tokenizer(self._prompt(messages), return_tensors="pt")
         inputs.pop("token_type_ids", None)  # fast tokenizers emit it; LMs don't take it
+        # inputs must live on the model's device (generate raises otherwise);
+        # derive from the parameters — callers may pass a pre-placed model
+        try:
+            device = next(self.model.parameters()).device
+            inputs = {k: v.to(device) for k, v in inputs.items()}
+        except StopIteration:  # parameterless fake in tests
+            inputs = dict(inputs)
         streamer = TextIteratorStreamer(self.tokenizer, skip_prompt=True,
                                         skip_special_tokens=True,
                                         timeout=LLM_STREAM_TIMEOUT_S)
@@ -234,8 +267,10 @@ def is_likely_garbage(text: str) -> bool:
         return True
     if len(t) < 2:
         return True
-    alpha = sum(c.isalpha() or c.isspace() for c in t)
-    if alpha / len(t) < 0.5:
+    # isalnum, not isalpha: "42" is a perfectly good utterance (the
+    # reference filter counts alphanumerics, run_streaming_csm_mlx.py:667+)
+    alnum = sum(c.isalnum() or c.isspace() for c in t)
+    if alnum / len(t) < 0.5:
         return True
     words = t.split()
     if len(words) >= 6:
@@ -306,6 +341,13 @@ async def vad_stt_worker(state: ConversationState, stt, executor) -> None:
         try:
             chunk = await asyncio.wait_for(state.audio_in_q.get(), timeout=0.25)
         except asyncio.TimeoutError:
+            # No audio at all is silence too: accumulate the timeout so an
+            # utterance whose source just stops sending (batch/NullAudioIO
+            # feeds, a paused mic) still flushes — the in-band path clears
+            # speech_seen the moment it crosses the threshold itself, so
+            # without this the flush below was unreachable.
+            if speech_seen:
+                silence_run += 0.25
             if speech_seen and silence_run > 0.7:
                 text = await loop.run_in_executor(executor, stt.finish)
                 speech_seen = False
@@ -372,8 +414,15 @@ async def llm_worker(state: ConversationState, llm: LLMBackend,
             continue
         state.record_llm_start()
         state.messages.append({"role": "user", "content": user_text})
-        result = await loop.run_in_executor(executor, llm, list(state.messages))
-        emitted = await _stream_llm_reply(state, result, loop, executor)
+        try:
+            result = await loop.run_in_executor(executor, llm,
+                                                list(state.messages))
+            emitted = await _stream_llm_reply(state, result, loop, executor)
+        except Exception:
+            # One failed LLM call (bad chat template, backend hiccup) must
+            # not take down the pipeline — same policy as the TTS worker.
+            logger.exception("LLM call failed; dropping this turn")
+            emitted = []
         if emitted:
             state.messages.append({"role": "assistant",
                                    "content": " ".join(emitted)})
@@ -499,6 +548,9 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                 if remaining <= 0:
                     logger.warning("TTS generation timeout for segment")
                     timed_out = True
+                    # no next() is in flight on this path: close directly so
+                    # the half-consumed generator's state is released
+                    executor.submit(gen.close)
                     break
                 fut = loop.run_in_executor(executor,
                                            lambda: next(gen, None))
@@ -522,6 +574,13 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                 if state.interruption.is_set() and fade_remaining < 0:
                     fade_remaining = FADE_CHUNKS
                     interrupted = True
+                    # TPU generates far faster than real time, so seconds of
+                    # full-gain audio may already sit in the device buffer:
+                    # drop it (reference :177) — the ramped chunks below
+                    # provide the smooth stop.
+                    flush = getattr(audio_io, "flush_output", None)
+                    if flush is not None:
+                        flush()
                 if fade_remaining >= 0:
                     gain = max(fade_remaining / FADE_CHUNKS, 0.0)
                     ramp = np.linspace(gain,
@@ -548,6 +607,25 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
             # must not take down the whole pipeline — log and move on.
             logger.exception("TTS failed for segment; skipping")
         finally:
+            # Generation outruns playback ~18x: keep the mic gated (and the
+            # cooldown clock stopped) until the SPEAKER goes quiet, not just
+            # until the last chunk was dispatched — otherwise the STT
+            # worker transcribes the bot's own tail as user speech and
+            # barge-in is dead for those seconds. A barge-in during the
+            # drain still works: flush and bail.
+            try:
+                backlog = getattr(audio_io, "output_backlog", None)
+                while (backlog is not None and backlog() > 0.05
+                       and not state.shutdown.is_set()):
+                    if state.interruption.is_set():
+                        interrupted = True
+                        flush = getattr(audio_io, "flush_output", None)
+                        if flush is not None:
+                            flush()
+                        break
+                    await asyncio.sleep(0.05)
+            except Exception:
+                pass
             state.tts_speaking = False
         state.cooldown_until = time.monotonic() + COOLDOWN_S
         if interrupted:

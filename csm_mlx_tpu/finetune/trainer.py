@@ -220,10 +220,14 @@ class CheckpointManager:
             return
         from safetensors.numpy import save_file
 
+        # One device->host transfer, written to both roots (the flats are
+        # several GB at production scale; fetching them per root doubled
+        # the stall).
+        weights = self._weights_flat()
+        opt = self._opt_flat()
         for root in (self.dir / suffix, self.dir):
             os.makedirs(root, exist_ok=True)
-            save_file(self._weights_flat(), str(root / "latest.safetensors"))
-            opt = self._opt_flat()
+            save_file(weights, str(root / "latest.safetensors"))
             if opt:
                 save_file(opt, str(root / "optimizer_state.safetensors"))
             with open(root / "trainer_state.json", "w") as f:
@@ -494,6 +498,16 @@ class CSMTrainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             mesh = self.args.mesh
+            n = int(dict(mesh.shape).get("data", 1))
+            b = next(iter(batch.values())).shape[0]
+            if b % n:
+                # A P("data") sharding requires dim 0 divisible by the data
+                # axis, and the ragged final batch of an epoch generally
+                # isn't — pad it by cycling rows. The padded rows duplicate
+                # real samples (a mild oversampling of <=n-1 rows once per
+                # epoch), which beats crashing on every epoch's last step.
+                rows = np.resize(np.arange(b), b + (n - b % n))
+                batch = {k: np.asarray(v)[rows] for k, v in batch.items()}
             dp = NamedSharding(mesh, P("data"))
             return {k: jax.device_put(jnp.asarray(v), dp)
                     for k, v in batch.items()}
@@ -532,7 +546,13 @@ class CSMTrainer:
         if start_epoch < epochs and start_step > 0:
             completed = start_epoch * steps_per_epoch
             if start_step > completed:
-                resume_batch_idx = start_step % steps_per_epoch
+                # start_step - completed, NOT start_step % steps_per_epoch:
+                # a checkpoint taken at exactly the last step of an epoch
+                # (crash before the end-of-epoch save bumps state.epoch)
+                # must resume as "epoch done" (the empty-remaining path
+                # below), not re-train the whole epoch from batch 0.
+                resume_batch_idx = min(start_step - completed,
+                                       steps_per_epoch)
         if start_epoch > 0 or resume_batch_idx > 0:
             print(f"Resuming from Epoch {start_epoch + 1}, Step {start_step + 1}")
 

@@ -131,6 +131,11 @@ def test_data_parallel_train_step():
         batch = _batch(model.args, b=8, s=6)
         loss = trainer.train_step(batch)
         assert np.isfinite(loss)
+        # The ragged final batch of an epoch (here 3 rows on an 8-way data
+        # axis) must pad by cycling rows, not crash device_put.
+        ragged = {k: v[:3] for k, v in batch.items()}
+        loss2 = trainer.train_step(ragged)
+        assert np.isfinite(loss2)
 
 
 def test_shard_params_indivisible_vocab_replicates():

@@ -238,6 +238,34 @@ def test_checkpoint_save_and_resume(tmp_path):
     )
 
 
+def test_resume_at_exact_epoch_boundary_skips_epoch(tmp_path):
+    """A checkpoint taken at the LAST step of an epoch (crash before the
+    end-of-epoch save bumps state.epoch) must resume as 'epoch done', not
+    re-train the whole epoch from batch 0."""
+    out = tmp_path / "boundary_run"
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
+    args = TrainArgs(model=model, optimizer=optax.adam(1e-3), output_dir=out,
+                     ckpt_freq=2, log_freq=1, learning_rate=1e-3)
+    trainer = CSMTrainer(args)
+    ds = _fake_ds(model.args)  # 4 samples, batch 2 -> 2 steps/epoch
+    # Simulate the crash window: 2 steps trained (the full epoch), periodic
+    # checkpoint committed at step 2, but epoch never bumped.
+    trainer.train_step(ds.get_batch([0, 1]))
+    trainer.train_step(ds.get_batch([2, 3]))
+    trainer.state.step = 2
+    trainer.state.epoch = 0
+    trainer.checkpointer.save()
+
+    model2 = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(9))
+    trainer2 = CSMTrainer(TrainArgs(model=model2, optimizer=optax.adam(1e-3),
+                                    output_dir=out, learning_rate=1e-3))
+    assert trainer2.state.step == 2 and trainer2.state.epoch == 0
+    trainer2.train(ds, batch_size=2, epochs=1, shuffle=False)
+    # Epoch 0 was already complete: no batch may re-run (step stays 2).
+    assert trainer2.state.step == 2
+    assert trainer2.state.epoch == 1
+
+
 def test_dpo_trainer_step(tmp_path):
     model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
     trainer = DPOTrainer(DPOArgs(model=model, optimizer=optax.sgd(1e-3),

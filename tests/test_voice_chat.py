@@ -44,6 +44,9 @@ def test_garbage_filter():
     assert is_likely_garbage("###$$$%%%^^^&&&")
     assert is_likely_garbage("a a a a a a a a a a a a")
     assert not is_likely_garbage("This is a perfectly normal sentence.")
+    # digits are alnum, not garbage (reference counts isalnum)
+    assert not is_likely_garbage("42.")
+    assert not is_likely_garbage("It costs 1234 dollars.")
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +224,41 @@ def test_pipeline_end_to_end():
     assert len(pipe.state.context_segments) >= 1
     assert pipe.state.messages[-1]["role"] == "assistant"
     assert "hi there." in pipe.state.messages[0]["content"]
+
+
+def test_utterance_flushes_when_audio_source_stops():
+    """An utterance whose source simply STOPS sending chunks (batch feeds,
+    a paused mic) must still commit via stt.finish(): the queue-timeout
+    path accumulates silence too."""
+
+    class FinishOnlySTT(ScriptedSTT):
+        def __init__(self):
+            super().__init__()
+            self.finished = False
+
+        def process_iter(self):
+            return ""  # nothing commits incrementally
+
+        def finish(self):
+            self.finished = True
+            return "spoken at the end."
+
+    stt = FinishOnlySTT()
+    audio_io = NullAudioIO()
+    pipe = VoiceChatPipeline(stt, echo_llm, fake_tts_stream, audio_io)
+
+    async def scenario():
+        run = asyncio.create_task(pipe.run_async(duration=3.0))
+        await asyncio.sleep(0.2)
+        for _ in range(4):  # loud speech, then the source goes quiet
+            audio_io.feed(np.ones(4000, dtype=np.float32) * 0.2)
+            await asyncio.sleep(0.02)
+        await run
+
+    asyncio.run(scenario())
+    assert stt.finished, "finish() never ran after the source stopped"
+    assert any(m["role"] == "user" and "spoken at the end." in m["content"]
+               for m in pipe.state.messages)
 
 
 def test_context_window_rolls():
@@ -413,6 +451,9 @@ def test_barge_in_fades_and_flushes():
     assert last.max() < 1.0
     # queued sentence flushed
     assert pipe.state.llm_out_q.empty()
+    # buffered DEVICE audio dropped too — barge-in must actually silence
+    # the speaker, not only stop feeding it
+    assert audio_io.flushes >= 1
 
 
 def test_barge_in_discards_straggler_sentences():
