@@ -58,6 +58,8 @@ def main():
     seconds = float(os.environ.get("SECONDS", "5"))
     max_batch = int(os.environ.get("MAX_BATCH", "48"))
     transfer = os.environ.get("TRANSFER", "int16")
+    continuous = os.environ.get("CONTINUOUS", "0") == "1"
+    n_slots = int(os.environ.get("SLOTS", "16"))
 
     model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
     # Zeroed-init audio_head would make EOS a 1/2051-per-frame coin on c0
@@ -68,13 +70,22 @@ def main():
     quantize_model(model, mode="w8a8")
 
     async def run():
-        server = TTSServer(model, max_batch=max_batch, max_wait_ms=40,
-                           max_audio_length_ms=seconds * 1000,
-                           temperature=0.0, transfer=transfer)
+        if continuous:
+            from csm_mlx_tpu.serve import ContinuousTTSServer
+
+            server = ContinuousTTSServer(
+                model, n_slots=n_slots,
+                max_audio_length_ms=seconds * 1000, temperature=0.0)
+        else:
+            server = TTSServer(model, max_batch=max_batch, max_wait_ms=40,
+                               max_audio_length_ms=seconds * 1000,
+                               temperature=0.0, transfer=transfer)
         # Warmup: issue the SAME burst shape as the timed run so every
         # (prompt-bucket, batch-bucket) program the run will hit is
         # compiled (a 24-request burst under max_batch=48 buckets to 32 —
-        # warming only a 48-batch would leave that compile in the timing).
+        # warming only a 48-batch would leave that compile in the timing;
+        # the continuous engine likewise compiles one admit program per
+        # padded admit size as slots free up at different rates).
         await asyncio.gather(*[
             server.synthesize(f"warmup {i}") for i in range(n_requests)])
         server.stats.requests = 0
@@ -93,18 +104,25 @@ def main():
 
     server, rows, wall = asyncio.run(run())
     audio_sec = sum(r.shape[-1] for r in rows) / SAMPLING_RATE
-    print(json.dumps({
+    out = {
         "metric": "serve_aggregate_rtf",
         "value": round(audio_sec / wall, 2),
         "unit": "x_realtime",
         "requests": n_requests,
         "wall_sec": round(wall, 2),
         "audio_sec": round(audio_sec, 2),
-        "batches": server.stats.batches,
-        "batch_sizes": list(server.stats.batch_sizes),
-        "device_rtf": round(server.stats.aggregate_rtf, 2),
-        "transfer": transfer,
-    }))
+    }
+    if continuous:
+        es = server.engine.stats
+        out.update({"mode": "continuous", "n_slots": n_slots,
+                    "engine_steps": es.steps,
+                    "frames_wasted": es.frames_wasted})
+    else:
+        out.update({"batches": server.stats.batches,
+                    "batch_sizes": list(server.stats.batch_sizes),
+                    "device_rtf": round(server.stats.aggregate_rtf, 2),
+                    "transfer": transfer})
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -146,6 +146,7 @@ class OnlineASRProcessor:
         self.buffer_time_offset = 0.0
         self.committed: List[Tuple[float, float, str]] = []
         self.prompt_text = ""
+        self._prompted_upto = 0  # committed[:k] already absorbed into prompt
         self._prev_hyp: List[AsrWord] = []   # last iteration's uncommitted tail
         self._since_last_process = 0.0
 
@@ -170,10 +171,24 @@ class OnlineASRProcessor:
     def _commit(self, words: List[AsrWord]) -> str:
         for w in words:
             self.committed.append((w.start, w.end, w.word))
-        text = " ".join(w.word.strip() for w in words if w.word.strip())
-        if text:
-            self.prompt_text = (self.prompt_text + " " + text).strip()
-        return text
+        return " ".join(w.word.strip() for w in words if w.word.strip())
+
+    def _absorb_scrolled_out(self) -> None:
+        """Move committed words whose audio left the buffer into the
+        transcription prompt. Prompting only with SCROLLED-OUT text (the
+        reference's behavior, stt_processor.py:135-254) matters: priming
+        whisper with words whose audio it is about to re-hear encourages it
+        to skip the buffer-initial region on the next pass."""
+        new = []
+        while (self._prompted_upto < len(self.committed)
+               and self.committed[self._prompted_upto][1]
+               <= self.buffer_time_offset):
+            w = self.committed[self._prompted_upto][2].strip()
+            if w:
+                new.append(w)
+            self._prompted_upto += 1
+        if new:
+            self.prompt_text = (self.prompt_text + " " + " ".join(new)).strip()
 
     def _drop_committed(self, hyp: List[AsrWord]) -> List[AsrWord]:
         """Drop hypothesis words already committed (the untrimmed buffer
@@ -209,6 +224,12 @@ class OnlineASRProcessor:
         pi = ci = 0
         while ci < len(hyp):
             if _norm(hyp[ci].word) == "":
+                if not agreed and pi >= len(self._prev_hyp):
+                    # A stray LEADING punctuation token with no previous
+                    # hypothesis covering it must not commit: it would
+                    # advance the committed frontier past real audio and
+                    # permanently swallow the utterance's opening words.
+                    break
                 agreed.append(hyp[ci])
                 ci += 1
                 continue
@@ -246,6 +267,7 @@ class OnlineASRProcessor:
         # keep only the tail of _prev_hyp that is still inside the buffer
         self._prev_hyp = [w for w in self._prev_hyp
                           if w.end > self.buffer_time_offset]
+        self._absorb_scrolled_out()
 
     def finish(self) -> str:
         """Flush: commit the current best hypothesis (stt:245-254)."""
@@ -260,4 +282,5 @@ class OnlineASRProcessor:
         self.audio_buffer = np.zeros((0,), dtype=np.float32)
         self._prev_hyp = []
         self._since_last_process = 0.0
+        self._absorb_scrolled_out()
         return text

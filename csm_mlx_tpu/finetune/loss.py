@@ -122,7 +122,13 @@ def compute_loss(
     if decoder_loss_fraction < 1.0:
         k = max(int(n_rows * decoder_loss_fraction), 1)
         if rng is None:
-            rng = jax.random.PRNGKey(0)
+            # A constant fallback key would sample the SAME row subset on
+            # every step — the other 1-fraction of frame positions would
+            # never receive decoder gradients. The trainer threads a
+            # per-step rng; direct callers must too.
+            raise ValueError(
+                "decoder_loss_fraction < 1.0 requires rng= (a fresh key per "
+                "step); a fixed subsample would never train the other rows")
         perm = jax.random.permutation(rng, n_rows)[:k]
         dec_in = dec_in[perm]
         row_valid = row_valid.reshape(n_rows, n_cb)[perm].reshape(1, k, n_cb)

@@ -216,7 +216,8 @@ class Mimi:
         self.params = params
         self.frame_size = cfg.frame_size
         self._encode_jit = functools.lru_cache(maxsize=16)(self._make_encode)
-        self._decode_jit = functools.lru_cache(maxsize=16)(self._make_decode)
+        self._decode_fn = jax.jit(
+            lambda p, c: mimi_decode_fn(p, self.cfg, c))
         self._decode_step_jit = None
         self._encode_step_jit = None
 
@@ -225,9 +226,6 @@ class Mimi:
         return jax.jit(
             lambda p, x: mimi_encode_fn(p, self.cfg, x, nq)
         )
-
-    def _make_decode(self, _key=None):
-        return jax.jit(lambda p, c: mimi_decode_fn(p, self.cfg, c))
 
     def encode(self, audio, num_quantizers: Optional[int] = None) -> jax.Array:
         """(B, 1, T) waveform -> (B, K, F) codes. T padded to whole frames."""
@@ -248,7 +246,7 @@ class Mimi:
         pad_f = _bucket(f) - f
         if pad_f:
             codes = jnp.pad(codes, ((0, 0), (0, 0), (0, pad_f)))
-        audio = self._decode_jit()(self.params, codes)
+        audio = self._decode_fn(self.params, codes)
         return audio[:, :, : f * self.frame_size]
 
     # -- streaming ------------------------------------------------------
@@ -291,11 +289,12 @@ class Mimi:
                 self._stream_decode_state = self.init_decode_state(
                     batch=jnp.asarray(codes).shape[0])
             state = self._stream_decode_state
+        # No donation: in the explicit-state mode the caller owns `state`
+        # and may legitimately reuse it (branching two continuations from a
+        # common prefix, retries) — donating would delete it under them.
         if self._decode_step_jit is None:
             self._decode_step_jit = jax.jit(
-                lambda p, c, s: mimi_decode_step_fn(p, self.cfg, c, s),
-                donate_argnums=(2,),
-            )
+                lambda p, c, s: mimi_decode_step_fn(p, self.cfg, c, s))
         audio, new_state = self._decode_step_jit(
             self.params, jnp.asarray(codes, jnp.int32), state)
         if stateful:
@@ -320,11 +319,10 @@ class Mimi:
         if self._encode_step_jit is None:
             self._encode_step_jit = {}
         if nq not in self._encode_step_jit:
+            # no donation: the caller owns explicit state (see decode_step)
             self._encode_step_jit[nq] = jax.jit(
                 lambda p, a, s, _nq=nq: mimi_encode_step_fn(
-                    p, self.cfg, a, s, _nq),
-                donate_argnums=(2,),
-            )
+                    p, self.cfg, a, s, _nq))
         codes, new_state = self._encode_step_jit[nq](
             self.params, jnp.asarray(audio, jnp.float32), state)
         if stateful:

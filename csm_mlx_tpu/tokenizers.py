@@ -32,14 +32,31 @@ from csm_mlx_tpu.segment import Segment
 N_SLOTS = 33  # 32 audio codebooks + 1 text column
 
 
-@cache
+_MIMI_CACHE: dict = {}  # n_codebooks -> (weights_path | None, Mimi)
+
+
 def get_audio_tokenizer(
     n_audio_codebooks: int = 32, weights: Optional[str] = None
 ) -> Mimi:
-    """Mimi codec singleton. Random-init if no weights are resolvable (unit
-    tests / benchmarks); real use loads the kyutai checkpoint."""
-    mimi = Mimi(mimi_202407(n_audio_codebooks), dtype=jnp.float32)
+    """Mimi codec singleton per codebook count. Random-init only when no
+    weights are resolvable at all (unit tests / offline benchmarks); real
+    use loads the kyutai checkpoint.
+
+    An EXPLICIT path (the `weights` argument or CSM_TPU_MIMI_WEIGHTS) that
+    does not exist raises — a typo'd path must fail loudly, not silently
+    tokenize everything with a random codec. The cache is keyed on the
+    codebook count only: a startup call with explicit weights installs the
+    canonical instance that the no-argument `tokenize_audio`/`decode_audio`
+    calls then share (two inconsistent codecs must never coexist)."""
     path = weights or os.environ.get("CSM_TPU_MIMI_WEIGHTS")
+    if path is not None and not os.path.exists(path):
+        raise FileNotFoundError(
+            f"Mimi weights not found: {path!r} (from the weights argument "
+            f"or CSM_TPU_MIMI_WEIGHTS); refusing to fall back to a "
+            f"random-init codec")
+    cached = _MIMI_CACHE.get(n_audio_codebooks)
+    if cached is not None and (path is None or cached[0] == path):
+        return cached[1]
     if path is None:
         try:
             from huggingface_hub import hf_hub_download
@@ -47,9 +64,14 @@ def get_audio_tokenizer(
             path = hf_hub_download(**TOKENIZERS["audio"])
         except Exception:
             path = None
+    mimi = Mimi(mimi_202407(n_audio_codebooks), dtype=jnp.float32)
     if path is not None and os.path.exists(path):
         mimi.load_pytorch_weights(path)
+    _MIMI_CACHE[n_audio_codebooks] = (path, mimi)
     return mimi
+
+
+get_audio_tokenizer.cache_clear = _MIMI_CACHE.clear  # drop-in for @cache
 
 
 @cache

@@ -112,6 +112,56 @@ def test_generate_long_empty_text(offline_tokenizers, model):
     assert out.shape == (0,)
 
 
+def test_audio_tokenizer_explicit_missing_path_raises(tmp_path):
+    """A typo'd explicit weights path must fail loudly — silently
+    tokenizing a training set with a random-init codec is catastrophic."""
+    import pytest as _pytest
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    with _pytest.raises(FileNotFoundError, match="Mimi weights"):
+        tok_mod.get_audio_tokenizer(8, weights=str(tmp_path / "nope.st"))
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
+def test_audio_tokenizer_singleton_per_codebook_count():
+    """Repeated no-weights calls share one codec instance (the cache is
+    keyed on codebook count, not on the weights argument)."""
+    tok_mod.get_audio_tokenizer.cache_clear()
+    a = tok_mod.get_audio_tokenizer(8)
+    b = tok_mod.get_audio_tokenizer(8)
+    assert a is b
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
+def test_mimi_decode_step_explicit_state_is_reusable(offline_tokenizers):
+    """Explicit-state decode_step must not consume (donate) the caller's
+    state: branching two continuations from one prefix is legitimate."""
+    mimi = tok_mod.get_audio_tokenizer(8)
+    st = mimi.init_decode_state(1)
+    codes = jnp.zeros((1, 8, 1), jnp.int32)
+    a1, st1 = mimi.decode_step(codes, st)
+    a2, _ = mimi.decode_step(codes, st)  # reuse st — must not raise
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_decoder_loss_fraction_requires_rng():
+    import pytest as _pytest
+
+    from csm_mlx_tpu.finetune.loss import compute_loss
+    from csm_mlx_tpu.models.csm import CSM as _CSM
+
+    m = _CSM(tiny_args(n_codebooks=8), dtype=jnp.float32,
+             rng=jax.random.PRNGKey(0))
+    k = m.args.n_audio_codebooks + 1
+    batch = {
+        "tokens": jnp.zeros((1, 4, k), jnp.int32),
+        "masks": jnp.ones((1, 4, k), jnp.int32),
+        "loss_masks": jnp.ones((1, 4, k), jnp.int32),
+    }
+    with _pytest.raises(ValueError, match="rng"):
+        compute_loss(m.params, m.args, batch, decoder_loss_fraction=0.5)
+
+
 def test_generate_long_rolling_context_zero(offline_tokenizers, model):
     """rolling_context=0 means independent sentences (ctx[-0:] must not
     mean 'keep everything'): the output equals the concatenation of solo

@@ -163,6 +163,51 @@ def test_online_asr_leading_punctuation_does_not_shift_alignment():
     assert "hello" in text and "world" in text, text
 
 
+def test_online_asr_stray_leading_punctuation_never_commits():
+    """A punctuation-only token with NO previous hypothesis covering it
+    must not commit: it would advance the committed frontier past real
+    audio and permanently swallow the utterance's opening words."""
+
+    class PunctFirstASR:
+        def __init__(self):
+            self.calls = 0
+
+        def transcribe(self, audio, init_prompt=""):
+            self.calls += 1
+            if self.calls == 1:  # noise pass: just a stray '.'
+                return [AsrSegment(2.9, 3.1, ".")]
+            seconds = int(len(audio) / 16000)
+            return [AsrSegment(i, i + 1, f"word{i}") for i in range(seconds)]
+
+    proc = OnlineASRProcessor(PunctFirstASR(), min_chunk_seconds=0.0)
+    proc.insert_audio_chunk(np.zeros(16000 * 4, dtype=np.float32))
+    assert proc.process_iter() == ""      # stray '.' not committed
+    assert proc.committed == []
+    proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
+    text = proc.process_iter()
+    proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
+    text += " " + proc.process_iter()
+    assert "word0" in text                # opening words survive
+
+
+def test_online_asr_prompt_only_from_scrolled_out_text():
+    """The transcription prompt must contain only committed text whose
+    audio LEFT the buffer — priming whisper with words it is about to
+    re-hear makes it skip the buffer-initial region."""
+    proc = OnlineASRProcessor(FakeASR(), min_chunk_seconds=0.0)
+    proc.insert_audio_chunk(np.zeros(16000 * 3, dtype=np.float32))
+    proc.process_iter()
+    proc.insert_audio_chunk(np.zeros(16000 * 2, dtype=np.float32))
+    proc.process_iter()  # agreement commits some words
+    assert proc.committed, "setup: nothing committed"
+    # every prompted word's audio must be outside the current buffer
+    for (_s, e, w) in proc.committed[:proc._prompted_upto]:
+        assert e <= proc.buffer_time_offset
+    for (_s, e, w) in proc.committed[proc._prompted_upto:]:
+        assert w.strip() not in proc.prompt_text.split() or \
+            e <= proc.buffer_time_offset
+
+
 def test_online_asr_min_chunk_gating():
     proc = OnlineASRProcessor(FakeASR(), min_chunk_seconds=1.0)
     proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
