@@ -18,20 +18,21 @@ from csm_mlx_tpu.cli.config import MODEL
 
 
 def parse_weight_argument(value: str) -> str:
-    """HF repo id or local path -> weight file (cli/generate.py:19-49)."""
-    from csm_mlx_tpu.loaders import WEIGHT_FILE_CANDIDATES, resolve_weight_path
+    """HF repo id or local path -> weight file (cli/generate.py:19-49).
 
-    if re.match(r"^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$", value) and not Path(value).exists():
-        return resolve_weight_path(value)
-    path = Path(value)
-    if not path.exists():
+    Resolution order (incl. the per-directory candidate filenames) lives in
+    `loaders.resolve_weight_path` — one copy; the CLI only translates
+    failures to SystemExit."""
+    from csm_mlx_tpu.loaders import resolve_weight_path
+
+    looks_like_repo = re.match(
+        r"^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$", value) and not Path(value).exists()
+    if not looks_like_repo and not Path(value).exists():
         raise SystemExit(f"Error: Path '{value}' does not exist")
-    if path.is_dir():
-        for cand in WEIGHT_FILE_CANDIDATES:
-            if (path / cand).exists():
-                return str((path / cand).resolve())
-        raise SystemExit(f"Error: No weight file found in {path}")
-    return str(path.resolve())
+    try:
+        return resolve_weight_path(value)
+    except FileNotFoundError as e:
+        raise SystemExit(f"Error: {e}")
 
 
 def parse_adapter_argument(value: Optional[str]) -> Optional[str]:

@@ -26,16 +26,14 @@ k+1 before chunk k is synced to the host (dispatch-ahead).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
-from typing import Any, Callable, Generator, List, Optional, Sequence, Tuple
+from typing import Any, Generator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from csm_mlx_tpu.config import LlamaConfig
 from csm_mlx_tpu.models.csm import CSM, ModelArgs, embed_audio, masked_input_embeds
 from csm_mlx_tpu.models.llama import llama_forward
 from csm_mlx_tpu.ops.attention import (NEG_INF, causal_mask_bias,
@@ -43,10 +41,10 @@ from csm_mlx_tpu.ops.attention import (NEG_INF, causal_mask_bias,
 from csm_mlx_tpu.ops.kv_cache import KVCache
 from csm_mlx_tpu.ops.layers import emb_table, linear
 from csm_mlx_tpu.ops.rope import rope_cache_for
-from csm_mlx_tpu.ops.sampling import SamplerConfig, apply_processors
+from csm_mlx_tpu.ops.sampling import (HISTORY_SIZE, SamplerConfig,
+                                      apply_processors)
 
 PROMPT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
-HISTORY_SIZE = 64  # c0 repetition-penalty window carry (>= mlx_lm's 20)
 FRAME_MS = 80  # one RVQ frame = 80 ms (generation.py:106)
 # Full unroll of the 30-step decoder inner loop: XLA software-pipelines the
 # per-step weight streaming across the whole frame (measured RTF 10.6 vs 8.7
@@ -225,6 +223,13 @@ def _decode_frame(
                                 axis=1).astype(jnp.int32)
         return frame, key, history
 
+    # Decoder codebooks 1..31 sample with PLAIN temperature-categorical —
+    # the reference's decoder-step semantics (generation.py:81-84); the
+    # sampler's top-k/top-p/min-p chain applies to c0 only (above), same
+    # as the resident kernel. Custom callables keep full control.
+    dec_sampler = (SamplerConfig(temperature=sampler.temperature)
+                   if type(sampler) is SamplerConfig else sampler)
+
     dcache = KVCache.init(dcfg, b, n_cb + 1, dtype=last_hidden.dtype)
     cap = n_cb + 1
     k_idx = jnp.arange(cap, dtype=jnp.int32)
@@ -240,7 +245,7 @@ def _decode_frame(
     key, k1 = jax.random.split(key)
     c1_logits = audio_head_logits(audio_head, 0, hidden01[:, -1],
                                   args.n_audio_vocab)
-    c1 = sampler(k1, c1_logits)
+    c1 = dec_sampler(k1, c1_logits)
 
     # --- codebooks 2..31: lax.scan over single-token decoder steps ------
     def body(carry, i):
@@ -257,7 +262,7 @@ def _decode_frame(
         logits = audio_head_logits(audio_head, i - 1, hidden[:, 0],
                                    args.n_audio_vocab)
         key, kk = jax.random.split(key)
-        ci = sampler(kk, logits)
+        ci = dec_sampler(kk, logits)
         return (dcache, key, ci), ci
 
     # Unrolling lets XLA software-pipeline the per-step weight streaming
@@ -684,8 +689,11 @@ def generate_tokens_batch(
     all-zero EOS frame. Returns (frames (max_frames, B, 32), n_frames (B,)).
 
     With `mesh=` (after `parallel.shard_model(model, mesh)`), rows shard
-    over the "data" axis and weights over "model" (tensor parallelism); the
-    batch size must be divisible by the "data" axis size.
+    over the "data" axis and weights over "model" (tensor parallelism).
+    A batch that does not divide the "data" axis is REPLICATED across it
+    instead (tensor parallelism still applies) — correctness is preserved
+    but data parallelism is lost; pad the batch to a multiple of the data
+    axis (as `serve.TTSServer` does) to keep it.
     """
     args = model.args
     smp = _resolve_sampler(temperature, sampler)
@@ -727,6 +735,12 @@ def generate_batch(
     from csm_mlx_tpu.tokenizers import decode_audio
 
     contexts = contexts or [()] * len(texts)
+    if not (len(texts) == len(speakers) == len(contexts)):
+        # zip would silently truncate, then the per-row slicing below would
+        # fail with an obscure IndexError (or drop rows without any error).
+        raise ValueError(
+            f"texts/speakers/contexts lengths differ: {len(texts)}/"
+            f"{len(speakers)}/{len(contexts)}")
     max_frames = int(max_audio_length_ms / FRAME_MS)
     prompts, masks = [], []
     for text, speaker, context in zip(texts, speakers, contexts):
@@ -847,12 +861,36 @@ def generate_long(
     ctx_cfg = model.args.backbone_config.max_position_embeddings or 2048
     budget = ctx_cfg - max_seg_frames
 
+    def fit_sentence(sentence: str) -> List[str]:
+        """Split a single sentence that alone exceeds the token budget
+        (unpunctuated wall-of-text input) into word chunks that fit —
+        otherwise generate() would raise the context-window error this
+        function exists to avoid."""
+        if len(txt_tok.encode(f"[{speaker}]{sentence}")) < budget:
+            return [sentence]
+        parts: List[str] = []
+        cur: List[str] = []
+        for w in sentence.split():
+            cand = " ".join(cur + [w])
+            if cur and len(txt_tok.encode(f"[{speaker}]{cand}")) >= budget:
+                parts.append(" ".join(cur))
+                cur = [w]
+            else:
+                cur.append(w)
+        if cur:
+            parts.append(" ".join(cur))
+        return parts
+
+    sentences = [p for s in sentences for p in fit_sentence(s)]
+    ctx_lens = [seg_len(s) for s in ctx]  # computed once per segment
+
     gap = (np.zeros((int(pause_ms * SAMPLING_RATE / 1000),), np.float32)
            if pause_ms > 0 else None)
     for sentence in sentences:
         sent_tokens = len(txt_tok.encode(f"[{speaker}]{sentence}"))
-        while ctx and sum(map(seg_len, ctx)) + sent_tokens >= budget:
+        while ctx and sum(ctx_lens) + sent_tokens >= budget:
             ctx.pop(0)  # drop the oldest voice-context segment
+            ctx_lens.pop(0)
         key, sub = jax.random.split(key)
         audio = generate(
             model, sentence, speaker, tuple(ctx),
@@ -866,10 +904,13 @@ def generate_long(
             pieces.append(gap)  # between pieces only — never a silent tail
         pieces.append(host_audio)
         if rolling_context > 0:
-            ctx.append(Segment(speaker, sentence, host_audio))
+            seg = Segment(speaker, sentence, host_audio)
+            ctx.append(seg)
+            ctx_lens.append(seg_len(seg))
             ctx = ctx[-rolling_context:]
+            ctx_lens = ctx_lens[-rolling_context:]
         else:
-            ctx = []  # rolling_context=0: independent sentences
+            ctx, ctx_lens = [], []  # rolling_context=0: independent
     if not pieces:
         return jnp.zeros((0,), dtype=jnp.float32)
     out = jnp.asarray(np.concatenate(pieces))

@@ -19,7 +19,6 @@ or an HF repo trying `mlx-ckpt.safetensors` -> `ckpt.safetensors` ->
 from __future__ import annotations
 
 import os
-import re
 from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
@@ -32,14 +31,24 @@ WEIGHT_FILE_CANDIDATES = ("mlx-ckpt.safetensors", "ckpt.safetensors",
 
 
 def _load_flat(path: str) -> Dict[str, np.ndarray]:
+    if not os.path.exists(path):
+        # Fail with the real cause — the torch fallback below would
+        # otherwise mask a missing file behind its own error.
+        raise FileNotFoundError(f"checkpoint not found: {path!r}")
     from safetensors.numpy import load_file
 
     try:
         return load_file(path)
-    except Exception:
-        from safetensors.torch import load_file as load_torch
+    except Exception as numpy_err:
+        # bf16 tensors need the torch reader; for anything else (corrupt
+        # file, wrong format) re-raise the ORIGINAL numpy-reader error.
+        try:
+            from safetensors.torch import load_file as load_torch
 
-        return {k: v.float().numpy() for k, v in load_torch(path).items()}
+            return {k: v.float().numpy()
+                    for k, v in load_torch(path).items()}
+        except Exception:
+            raise numpy_err
 
 
 def flat_to_tree(flat: Dict[str, Any]) -> Dict[str, Any]:

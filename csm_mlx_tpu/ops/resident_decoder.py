@@ -497,14 +497,12 @@ def prepare_resident_decoder(model) -> bool:
 def sampler_supported(sampler) -> bool:
     """The kernel implements greedy and plain temperature-categorical —
     exactly the reference's decoder-step semantics (generation.py:81-84).
-    Anything fancier falls back to the dispatched path. The type check is
-    exact: a custom sampler (or SamplerConfig subclass overriding __call__)
-    carries sampling logic the kernel cannot honor."""
+    Any plain SamplerConfig qualifies: its top-k/top-p/min-p chain applies
+    to codebook 0 only (sampled by the caller OUTSIDE the kernel), and the
+    dispatched path uses the same plain-temperature decoder sampling. The
+    type check is exact: a custom sampler (or SamplerConfig subclass
+    overriding __call__) carries decoder-step logic the kernel cannot
+    honor, so it falls back to the dispatched path."""
     from csm_mlx_tpu.ops.sampling import SamplerConfig
 
-    return (
-        type(sampler) is SamplerConfig
-        and sampler.top_p in (0.0, 1.0)
-        and sampler.min_p == 0.0
-        and sampler.top_k == 0
-    )
+    return type(sampler) is SamplerConfig

@@ -23,6 +23,11 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+# The c0 token-history carried through the compiled generation loop is a
+# fixed ring of this many entries (the reference's history grows
+# unboundedly; a jit carry cannot). Processors must not ask for more.
+HISTORY_SIZE = 64  # >= mlx_lm's default repetition window of 20
+
 NEG_INF = jnp.float32(-1e30)
 
 # A sampler maps (key, logits (B, V) fp32) -> tokens (B,) int32.
@@ -156,6 +161,13 @@ def make_logits_processors(
     if logit_bias:
         processors.append(LogitBias(tuple(sorted(logit_bias.items()))))
     if repetition_penalty and repetition_penalty != 1.0:
+        if repetition_context_size > HISTORY_SIZE:
+            # The compiled loop carries a fixed 64-entry history ring; a
+            # larger window would be silently capped — fail loudly instead.
+            raise ValueError(
+                f"repetition_context_size={repetition_context_size} exceeds "
+                f"the generation loop's history ring (HISTORY_SIZE="
+                f"{HISTORY_SIZE})")
         processors.append(
             RepetitionPenalty(repetition_penalty, repetition_context_size)
         )

@@ -162,6 +162,45 @@ def test_decoder_loss_fraction_requires_rng():
         compute_loss(m.params, m.args, batch, decoder_loss_fraction=0.5)
 
 
+def test_generate_long_wall_of_text_single_sentence(offline_tokenizers):
+    """A single unpunctuated sentence longer than the token budget must be
+    word-chunked, not crash with the context-window error."""
+    import dataclasses
+
+    import csm_mlx_tpu.config as config_mod
+    from csm_mlx_tpu.generation import generate_long
+
+    config_mod.BACKBONE_CONFIGURATION["tiny_narrow3"] = dataclasses.replace(
+        config_mod.BACKBONE_CONFIGURATION["tiny"],
+        max_position_embeddings=64)
+    args = dataclasses.replace(tiny_args(n_codebooks=8),
+                               backbone_name="tiny_narrow3")
+    narrow = CSM(args, dtype=jnp.float32, rng=jax.random.PRNGKey(2))
+    # no sentence-ending punctuation anywhere; far beyond the budget
+    text = " ".join(f"word{i}" for i in range(120))
+    out = generate_long(narrow, text, speaker=0, rolling_context=2,
+                        max_segment_audio_ms=240, temperature=0.0)
+    assert np.asarray(out).shape[0] > 0
+
+
+def test_generate_batch_mismatched_lengths_raise(offline_tokenizers, model):
+    from csm_mlx_tpu.generation import generate_batch
+
+    with pytest.raises(ValueError, match="lengths differ"):
+        generate_batch(model, ["a.", "b.", "c."], [0, 1],
+                       max_audio_length_ms=240)
+
+
+def test_repetition_context_beyond_history_ring_rejected():
+    from csm_mlx_tpu.ops.sampling import HISTORY_SIZE, make_logits_processors
+
+    make_logits_processors(repetition_penalty=1.3,
+                           repetition_context_size=HISTORY_SIZE)  # ok
+    with pytest.raises(ValueError, match="history ring"):
+        make_logits_processors(repetition_penalty=1.3,
+                               repetition_context_size=HISTORY_SIZE + 1)
+
+
 def test_generate_long_rolling_context_zero(offline_tokenizers, model):
     """rolling_context=0 means independent sentences (ctx[-0:] must not
     mean 'keep everything'): the output equals the concatenation of solo

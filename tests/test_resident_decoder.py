@@ -267,9 +267,17 @@ def test_sampler_gate():
 
     assert sampler_supported(SamplerConfig(temperature=0.0))
     assert sampler_supported(SamplerConfig(temperature=0.7))
-    assert not sampler_supported(SamplerConfig(temperature=0.7, top_k=5))
-    assert not sampler_supported(SamplerConfig(temperature=0.7, top_p=0.9))
+    # top-k/top-p apply to c0 only (sampled outside the kernel); decoder
+    # codebooks always use plain temperature-categorical — reference
+    # semantics — so fancy c0 samplers keep the resident fast path.
+    assert sampler_supported(SamplerConfig(temperature=0.7, top_k=5))
+    assert sampler_supported(SamplerConfig(temperature=0.7, top_p=0.9))
     assert not sampler_supported(lambda k, l: 0)  # custom callable
+
+    class Custom(SamplerConfig):
+        pass
+
+    assert not sampler_supported(Custom(temperature=0.0))  # subclass
 
 
 def test_generation_uses_resident_path(quant_model, monkeypatch):
