@@ -204,6 +204,15 @@ def causal_conv_transpose1d_streaming(
         {"weight": w}, x, stride=stride, groups=groups
     )  # no bias yet: (B, C_out, (T-1)*stride + K)
     t_out = x.shape[-1] * stride
+    if tail > t_out:
+        # The overlap-add below assumes the carried tail fits inside this
+        # chunk's t_out emitted samples (true for every Mimi kernel, which
+        # uses K == 2*stride). A longer tail would duplicate overlap into
+        # both the output and the carry — fail instead of streaming
+        # silently-wrong audio.
+        raise ValueError(
+            f"streamed conv-transpose needs K-stride ({tail}) <= "
+            f"T*stride ({t_out}); feed larger chunks or use K <= 2*stride")
     if tail > 0:
         head = full[:, :, :tail] + state.partial
         emitted = jnp.concatenate([head, full[:, :, tail:t_out]], axis=-1)

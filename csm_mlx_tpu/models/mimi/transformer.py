@@ -116,19 +116,10 @@ def _attn(
         )
         cache = dataclasses.replace(cache, k=knew, v=vnew)
         k_full, v_full = knew[layer], vnew[layer]
-        # Key validity: slot holds absolute position p_slot; valid iff
-        # q_pos - window < p_slot <= q_pos. Reconstruct absolute positions:
-        # slot j holds position j + w * floor((last - j) / w) where last =
-        # index + s - 1 is the newest absolute position.
-        last = cache.index + s - 1
-        j = jnp.arange(w)
-        p_slot = j + w * ((last - j) // w)
-        q_pos = positions  # (B, S) absolute
-        valid = (p_slot[None, None, :] <= q_pos[:, :, None]) & (
-            p_slot[None, None, :] > q_pos[:, :, None] - cfg.sliding_window
-        ) & (p_slot[None, None, :] >= cache.start[:, None, None])
-        bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
-        out = sdpa(q, k_full, v_full, scale=d ** -0.5, mask_bias=bias)
+        # mask_bias: the ring-validity bias, layer-invariant — built ONCE
+        # in transformer_forward (see _ring_mask_bias) and shared by all
+        # layers, like the batch path's sliding-window mask.
+        out = sdpa(q, k_full, v_full, scale=d ** -0.5, mask_bias=mask_bias)
     else:
         out = sdpa(q, k, v, scale=d ** -0.5, mask_bias=mask_bias)
 
@@ -162,12 +153,27 @@ def transformer_forward(
             positions = jnp.arange(s, dtype=jnp.int32)[None]
         positions = jnp.broadcast_to(positions, (b, s))
 
-    mask_bias = None
     if cache is None:
         q_pos = jnp.arange(s)[:, None]
         k_pos = jnp.arange(s)[None, :]
         ok = (k_pos <= q_pos) & (k_pos > q_pos - cfg.sliding_window)
         mask_bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+    else:
+        # Ring-slot key validity: slot holds absolute position p_slot; a
+        # query at q_pos sees it iff q_pos - window < p_slot <= q_pos and
+        # p_slot >= start (per-row stream start hides a recycled row's
+        # predecessor). Slot j holds position j + w*floor((last - j)/w),
+        # last = index + s - 1 the newest absolute position. Depends only
+        # on (index, start, positions) — layer-invariant, built once here.
+        w = cache.window
+        last = cache.index + s - 1
+        j = jnp.arange(w)
+        p_slot = j + w * ((last - j) // w)
+        valid = (p_slot[None, None, :] <= positions[:, :, None]) & (
+            p_slot[None, None, :] > positions[:, :, None] - cfg.sliding_window
+        ) & (p_slot[None, None, :] >= cache.start[:, None, None])
+        mask_bias = jnp.where(valid, 0.0, NEG_INF).astype(
+            jnp.float32)[:, None]
 
     for i, lp in enumerate(params["layers"]):
         h = layer_norm(lp["input_layernorm"], x, cfg.norm_eps)

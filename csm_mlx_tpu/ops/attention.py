@@ -48,7 +48,9 @@ def flash_prefill_sdpa(
     (/root/reference/csm_mlx/attention.py:247-249).
 
     Args:
-      q: (B, n_heads, S, D) — S = prompt bucket (multiple of 32).
+      q: (B, n_heads, S, D) — S = prompt bucket; must be a multiple of the
+        128-row query block past S=128 (the grid writes whole blocks; a
+        ragged tail block would be left uninitialized — enforced below).
       k, v: (B, n_kv, S, D) — the prompt's keys/values (cache[:, :, :S]).
       pad_len: (B,) int32 left-padding; query i attends key j iff
         pad_len[b] <= j <= i.
@@ -62,6 +64,12 @@ def flash_prefill_sdpa(
     n_kv = k.shape[1]
     group = n_heads // n_kv
     blk_q = min(128, s)
+    if s % blk_q:
+        # The grid emits s // blk_q full query blocks: a non-multiple S
+        # would silently return garbage for the last s % blk_q rows —
+        # including the final position, whose hidden state drives sampling.
+        raise ValueError(
+            f"flash_prefill_sdpa needs S divisible by {blk_q}, got {s}")
     q5 = q.reshape(b, n_kv, group, s, d)
 
     def kernel(pad_ref, q_ref, k_ref, v_ref, o_ref):

@@ -67,6 +67,14 @@ class KVCache:
 
         k_new/v_new: (B, n_kv, S, head_dim). The index is only advanced by
         `advance()` once all layers have written (they share one position).
+
+        CONTRACT: index + S must not exceed the cache capacity.
+        `dynamic_update_slice` CLAMPS an out-of-range start instead of
+        failing, so an overflowing write lands on the last valid slots and
+        silently overwrites the newest real K/V (attention then mixes old
+        and new tokens with no error). Callers size capacity up front
+        (prompt bucket + max frames; see generation/continuous) — keep
+        doing that.
         """
         # Single dynamic-update-slice into the 5-D buffer: XLA performs this
         # in place when the cache is a loop carry, so a decode step costs

@@ -73,8 +73,12 @@ def quantize_weight(
     }
 
 
-def dequantize_weight(qp: Dict[str, jax.Array], bits: int, group_size: int,
-                      dtype=jnp.bfloat16) -> jax.Array:
+def dequantize_weight(qp: Dict[str, jax.Array], bits: int = 0,
+                      group_size: int = 0, dtype=jnp.bfloat16) -> jax.Array:
+    """The quantized dict is self-describing: `bits`/`group_size` are
+    accepted for call-site compatibility but IGNORED — the group count
+    derives from the stored scales, and the codes' dtype carries the
+    bit width."""
     q = qp["weight_q"].astype(jnp.int32)
     out_dim, in_dim = q.shape
     # Group count comes from the stored scales (handles both grouped affine
