@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from csm_mlx_tpu.loaders import tree_to_flat
 from csm_mlx_tpu.models.csm import CSM
 
 DEFAULT_KEYS = [
@@ -56,18 +55,22 @@ def effective_weight(p: Dict[str, jax.Array]) -> jax.Array:
 
     Works for plain (out, in) and stacked (L, out, in) weights — the
     batched matmul broadcasts over leading axes."""
-    w = p["weight"]
+    w0 = p["weight"]
     if "lora_a" not in p:
-        return w
+        return w0
     scale = p["lora_scale"] if "lora_scale" in p else 1.0
     if hasattr(scale, "ndim") and scale.ndim > 0:  # stacked: (L,) -> (L,1,1)
         scale = scale[..., None, None]
-    delta = (p["lora_b"] @ p["lora_a"]).astype(w.dtype)
-    w = w + scale * delta
+    # f32 math, result cast back to the BASE dtype: the f32 lora_scale would
+    # otherwise promote a bf16 model's fused weights to f32, doubling the
+    # HBM bytes on the streaming-bound decode path.
+    delta = p["lora_b"].astype(jnp.float32) @ p["lora_a"].astype(jnp.float32)
+    w = w0.astype(jnp.float32) + scale * delta
     if "dora_m" in p:
-        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=-1, keepdims=True)
-        w = p["dora_m"][..., None] * w / jnp.maximum(norm, 1e-6).astype(w.dtype)
-    return w
+        norm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+        w = p["dora_m"].astype(jnp.float32)[..., None] * w / jnp.maximum(
+            norm, 1e-6)
+    return w.astype(w0.dtype)
 
 
 def _adapt_leaf(p: Dict[str, Any], rank: int, scale: float, dropout: float,
@@ -117,13 +120,27 @@ def linear_to_lora_layers(model, config: Dict, use_dora: bool = False) -> None:
 
     rng = jax.random.PRNGKey(config.get("seed", 0))
     counter = [0]
+    skipped: List[str] = []
+    fused_names = ("self_attn.qkv_proj", "mlp.gateup_proj")
+    fused_targets = {"self_attn.q_proj", "self_attn.k_proj",
+                     "self_attn.v_proj", "mlp.gate_proj", "mlp.up_proj"}
 
     def visit(tree, path):
         if isinstance(tree, dict):
-            if "weight" in tree and any(path.endswith(k) for k in keys):
-                counter[0] += 1
-                _adapt_leaf(tree, rank, scale, dropout, use_dora,
-                            jax.random.fold_in(rng, counter[0]))
+            if any(path.endswith(k) for k in keys):
+                if "weight" in tree:
+                    counter[0] += 1
+                    _adapt_leaf(tree, rank, scale, dropout, use_dora,
+                                jax.random.fold_in(rng, counter[0]))
+                    return
+                if "weight_q" in tree:
+                    skipped.append(path)  # quantized: no raw weight to adapt
+                    return
+            if any(path.endswith(f) for f in fused_names) and \
+                    keys & fused_targets:
+                # fuse_layer_weights renamed the targets away; adapting the
+                # fused dict under the old names would silently not happen
+                skipped.append(path)
                 return
             for k, v in tree.items():
                 visit(v, f"{path}.{k}" if path else k)
@@ -132,6 +149,16 @@ def linear_to_lora_layers(model, config: Dict, use_dora: bool = False) -> None:
                 visit(v, f"{path}.{i}")
 
     visit(params, "")
+    if skipped or counter[0] == 0:
+        # A silent no-op here cascades: load_adapters would then merge
+        # lora_a/lora_b into unconverted dicts WITHOUT lora_scale (adapter
+        # applied at the wrong scale) or into fused dicts nothing reads.
+        detail = f"; quantized/fused targets: {skipped[:4]}" if skipped else ""
+        raise ValueError(
+            f"linear_to_lora_layers adapted {counter[0]} leaves and found "
+            f"{len(skipped)} unadaptable targets{detail} — convert to LoRA "
+            f"BEFORE quantize_model/fuse_layer_weights, or pass keys that "
+            f"match the current layout")
 
 
 def fuse_lora(model: CSM) -> None:

@@ -163,10 +163,11 @@ def embed_watermark(
     # substitution only realises ~half the ripple; iterating "set magnitude
     # to target, keep current phase, resynthesize" projects onto the
     # consistent-STFT set and recovers ~0.88 of it (module docstring).
-    target = jnp.abs(_stft(x, idx, window)[:, BAND_LO:BAND_HI]) * mod
-    wm = x
-    for _ in range(EMBED_ITERS):
-        spec = _stft(wm, idx, window)
+    spec = _stft(x, idx, window)  # shared: clean target AND iteration 1
+    target = jnp.abs(spec[:, BAND_LO:BAND_HI]) * mod
+    for it in range(EMBED_ITERS):
+        if it:
+            spec = _stft(wm, idx, window)
         band = spec[:, BAND_LO:BAND_HI]
         scale = target / (jnp.abs(band) + 1e-12)
         wm = wola(spec.at[:, BAND_LO:BAND_HI].set(band * scale.astype(band.dtype)))
@@ -250,5 +251,7 @@ def detect_watermark(
 def check_payload(result: WatermarkResult, key: Union[int, jax.Array],
                   payload_len: int = DEFAULT_PAYLOAD_LEN) -> jax.Array:
     """True iff the recovered bits match the key's default payload (the
-    detector's rotation search already restores payload order)."""
-    return jnp.all(result.bits == default_payload(key, payload_len))
+    detector's rotation search already restores payload order). Reduces
+    over the payload axis only, so batched detections get per-row
+    verdicts, not one bool collapsed across the batch."""
+    return jnp.all(result.bits == default_payload(key, payload_len), axis=-1)

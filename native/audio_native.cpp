@@ -158,7 +158,9 @@ int wav_write(const char* path, const float* data, int64_t frames, int32_t chann
   memcpy(hdr + 34, &b16, 2);
   memcpy(hdr + 36, "data", 4);
   memcpy(hdr + 40, &data_len, 4);
-  fwrite(hdr, 1, 44, f);
+  // Check every write: a full disk must fail (Python then falls back /
+  // raises), not return success on a truncated file.
+  size_t ok = fwrite(hdr, 1, 44, f) == 44;
 
   if (bits == 16) {
     std::vector<int16_t> pcm((size_t)total);
@@ -168,12 +170,12 @@ int wav_write(const char* path, const float* data, int64_t frames, int32_t chann
       if (v < -1.0f) v = -1.0f;
       pcm[(size_t)i] = (int16_t)lrintf(v * 32767.0f);
     }
-    fwrite(pcm.data(), 2, (size_t)total, f);
+    ok = ok && fwrite(pcm.data(), 2, (size_t)total, f) == (size_t)total;
   } else {
-    fwrite(data, 4, (size_t)total, f);
+    ok = ok && fwrite(data, 4, (size_t)total, f) == (size_t)total;
   }
-  fclose(f);
-  return 0;
+  ok = (fclose(f) == 0) && ok;
+  return ok ? 0 : -2;
 }
 
 // ---------------------------------------------------------------------------
@@ -254,7 +256,8 @@ int resample(const float* in, int64_t n_in, int32_t sr_in, int32_t sr_out,
 
   // Polyphase evaluation: out[j] = sum_k h[j'*...], zero-phase alignment like
   // scipy.signal.resample_poly (group delay half_len compensated).
-  for (int64_t j = 0; j < resample_out_len(n_in, sr_in, sr_out); j++) {
+  const int64_t n_out = resample_out_len(n_in, sr_in, sr_out);  // loop-invariant
+  for (int64_t j = 0; j < n_out; j++) {
     // Output j corresponds to input time t = j * down / up.
     int64_t num = j * down;           // position in upsampled grid
     // Filter centered at num + half_len in upsampled coordinates.

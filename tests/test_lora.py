@@ -132,6 +132,38 @@ def test_lora_dropout_perturbs_training_loss(tmp_path):
     np.testing.assert_allclose(float(l3), float(l4), rtol=1e-6)
 
 
+def test_lora_conversion_rejects_quantized_and_fused_models():
+    """Converting AFTER quantize/fuse silently adapted nothing (and
+    load_adapters then merged adapters into dicts applied at the wrong
+    scale or never read) — it must raise instead."""
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
+    quantize_model(model, mode="w8a8", min_size=1, fuse=False)
+    with pytest.raises(ValueError, match="BEFORE quantize"):
+        linear_to_lora_layers(model, {"rank": 2, "keys": ["attn"]})
+
+    fused = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(4))
+    from csm_mlx_tpu.models.llama import fuse_layer_weights
+
+    fuse_layer_weights(fused.params["backbone"])
+    fuse_layer_weights(fused.params["decoder"])
+    with pytest.raises(ValueError, match="BEFORE quantize"):
+        linear_to_lora_layers(fused, {"rank": 2, "keys": ["attn"]})
+
+
+def test_effective_weight_preserves_base_dtype():
+    """A bf16 model's fused weights must stay bf16: the f32 lora_scale
+    would otherwise promote them, doubling decode-path HBM bytes."""
+    model = CSM(tiny_args(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(5))
+    linear_to_lora_layers(model, {"rank": 2, "scale": 2.0, "keys": ["attn"]})
+    p = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
+    p["lora_b"] = jnp.ones_like(p["lora_b"])  # nonzero delta
+    assert effective_weight(p).dtype == jnp.bfloat16
+    fuse_lora(model)
+    assert p["weight"].dtype == jnp.bfloat16
+
+
 def test_fuse_lora_preserves_effective_weight():
     model = _lora_model(seed=4)
     p = model.params["backbone"]["layers"][0]["self_attn"]["q_proj"]
