@@ -81,8 +81,13 @@ def load_model(args: argparse.Namespace) -> CSM:
                                          model_config["loader"]["filename"])
             csm_model.load_weights(weight)
         except Exception as e:
-            print(f"Warning: could not download pretrained weights ({e}); "
-                  f"continuing with random initialization.")
+            # The model was built with init=False: there are no random
+            # weights to "continue with" — params is None and training
+            # would crash much later inside jit tracing. Fail here, loudly.
+            raise SystemExit(
+                f"Error: could not obtain pretrained weights ({e}); pass "
+                f"--pretrained-path to fine-tune from a local checkpoint"
+            ) from e
     return csm_model
 
 

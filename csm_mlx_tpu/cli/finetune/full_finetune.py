@@ -60,7 +60,7 @@ def _freeze_filter(args):
     return flt
 
 
-def _common_train_args(args, model, cls):
+def _common_train_args(args, model):
     return dict(
         model=model,
         optimizer=build_optimizer(args.optimizer, args.learning_rate,
@@ -97,7 +97,7 @@ def run_sft(args: argparse.Namespace) -> None:
 
     os.makedirs(args.output_dir, exist_ok=True)
     model = load_model(args)
-    trainer = CSMTrainer(TrainArgs(**_common_train_args(args, model, TrainArgs)))
+    trainer = CSMTrainer(TrainArgs(**_common_train_args(args, model)))
     dataset = load_dataset(CSMDataset, args, model.n_audio_codebooks)
     _run_train(trainer, dataset, args, model)
 
@@ -108,7 +108,7 @@ def run_dpo(args: argparse.Namespace) -> None:
 
     os.makedirs(args.output_dir, exist_ok=True)
     model = load_model(args)
-    trainer = DPOTrainer(DPOArgs(**_common_train_args(args, model, DPOArgs),
+    trainer = DPOTrainer(DPOArgs(**_common_train_args(args, model),
                                  beta=args.beta))
     dataset = load_dataset(CSMPairwiseDataset, args, model.n_audio_codebooks)
     _run_train(trainer, dataset, args, model)
@@ -123,7 +123,7 @@ def run_kto(args: argparse.Namespace) -> None:
     print("Building frozen reference model...")
     reference = load_model(args)
     trainer = KTOTrainer(KTOArgs(
-        **_common_train_args(args, model, KTOArgs),
+        **_common_train_args(args, model),
         reference_model=reference,
         beta=args.beta,
         desirable_weight=args.desirable_weight,

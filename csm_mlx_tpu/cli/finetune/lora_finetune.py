@@ -63,6 +63,8 @@ def _apply_lora(args, model):
               "target_modules")
         target_modules = [t for t in target_modules if "embeddings" not in t]
 
+    if args.lora_rank < 1:
+        raise SystemExit(f"Error: --lora-rank must be >= 1, got {args.lora_rank}")
     print(f"Applying LoRA with rank={args.lora_rank}, alpha={args.lora_alpha}")
     print(f"Target modules: {target_modules}")
     lora_config = {
@@ -108,16 +110,11 @@ def _common_train_args(args, model, flt):
 
 
 def _finish(args, model, flt) -> None:
-    from safetensors.numpy import save_file
-    import numpy as np
-
-    from csm_mlx_tpu.loaders import params_to_reference_flat
+    from csm_mlx_tpu.finetune.lora import save_adapter_weights
 
     final = args.output_dir / "adapters.safetensors"
     print(f"Saving final adapter weights to {final}...")
-    flat = params_to_reference_flat(model.params)
-    adapters = {k: np.asarray(v) for k, v in flat.items() if flt(k)}
-    save_file(adapters, str(final))
+    save_adapter_weights(model, final, weight_filter=flt)
     print("Final adapters saved.")
 
 

@@ -180,23 +180,30 @@ def fuse_lora(model: CSM) -> None:
     visit(model.params)
 
 
-def save_adapters(model: CSM, adapter_dir: str, config: Dict,
-                  fine_tune_type: str = "lora") -> None:
-    """Write adapter_config.json + adapters.safetensors
-    (lora_finetune.py:261-266, :333-338)."""
+def save_adapter_weights(model: CSM, file_path, weight_filter=None) -> None:
+    """Write adapters.safetensors (reference-compatible per-layer names,
+    utils.py:84-108 format). `weight_filter` defaults to the lora/dora
+    trainable filter; the CLI passes a wider one for --train-embeddings."""
     from safetensors.numpy import save_file
 
     from csm_mlx_tpu.loaders import params_to_reference_flat
 
+    flt = weight_filter or trainable_filter
+    flat = params_to_reference_flat(model.params)
+    adapters = {k: np.asarray(v) for k, v in flat.items() if flt(k)}
+    save_file(adapters, str(file_path))
+
+
+def save_adapters(model: CSM, adapter_dir: str, config: Dict,
+                  fine_tune_type: str = "lora") -> None:
+    """Write adapter_config.json + adapters.safetensors
+    (lora_finetune.py:261-266, :333-338)."""
     path = Path(adapter_dir)
     path.mkdir(parents=True, exist_ok=True)
     with open(path / "adapter_config.json", "w") as f:
         json.dump({"fine_tune_type": fine_tune_type,
                    "lora_parameters": config}, f, indent=2)
-    # Reference-compatible per-layer names (utils.py:84-108 format).
-    flat = params_to_reference_flat(model.params)
-    adapters = {k: np.asarray(v) for k, v in flat.items() if trainable_filter(k)}
-    save_file(adapters, str(path / "adapters.safetensors"))
+    save_adapter_weights(model, path / "adapters.safetensors")
 
 
 def load_adapters(model: CSM, adapter_path: str) -> CSM:

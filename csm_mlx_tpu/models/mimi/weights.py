@@ -140,6 +140,13 @@ def map_mimi_state_dict(
             tname, li, rest = m.group(1), int(m.group(2)), m.group(3)
             base = (tname, "layers", li)
             if rest == "self_attn.in_proj_weight":  # moshi fused qkv
+                # The equal-thirds split below is MHA-only; a GQA config
+                # would silently assign q rows to k — refuse instead.
+                if cfg.num_key_value_heads != cfg.num_attention_heads:
+                    raise ValueError(
+                        "moshi fused in_proj_weight requires MHA (kv heads "
+                        f"== heads); got {cfg.num_key_value_heads} != "
+                        f"{cfg.num_attention_heads}")
                 d = cfg.hidden_size
                 q, k, vv = v[:d], v[d: 2 * d], v[2 * d:]
                 put(base + ("self_attn", "q_proj", "weight"),
@@ -221,14 +228,9 @@ def map_mimi_state_dict(
 
 
 def load_mimi_checkpoint(path: str, cfg: MimiConfig, dtype=jnp.float32):
-    from safetensors.numpy import load_file
+    # numpy reader with the torch fallback for bf16 tensors, failing with
+    # the ORIGINAL error (missing file, corrupt header) when both readers
+    # fail — the same hardened path the model checkpoints use.
+    from csm_mlx_tpu.loaders import _load_flat
 
-    try:
-        state = load_file(path)
-    except Exception:
-        # bf16 tensors unsupported by safetensors.numpy in some versions —
-        # fall back through torch.
-        from safetensors.torch import load_file as load_torch
-
-        state = {k: v.float().numpy() for k, v in load_torch(path).items()}
-    return map_mimi_state_dict(state, cfg, dtype=dtype)
+    return map_mimi_state_dict(_load_flat(path), cfg, dtype=dtype)

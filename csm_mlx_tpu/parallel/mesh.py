@@ -116,8 +116,10 @@ def csm_param_spec(params: Any, tensor_parallel: bool = True) -> Any:
 
 
 def data_parallel_spec(batch: Any) -> Any:
-    """Shard the leading axis of every leaf over "data"."""
-    return jax.tree.map(lambda x: P("data"), batch)
+    """Shard the leading axis of every array leaf over "data"; scalar
+    (rank-0) leaves replicate — P("data") on a rank-0 array is invalid."""
+    return jax.tree.map(
+        lambda x: P() if getattr(x, "ndim", 1) == 0 else P("data"), batch)
 
 
 # -- FSDP (ZeRO-3-style fully-sharded data parallel) ---------------------

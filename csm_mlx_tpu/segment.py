@@ -38,7 +38,11 @@ class Segment:
         if self.audio_path is not None:
             from csm_mlx_tpu.utils.audio import read_audio
 
-            return read_audio(self.audio_path, SAMPLING_RATE)
+            # Cache: context segments are re-read on every generate() call
+            # of a long synthesis — one disk read + resample per segment,
+            # not one per access.
+            self._audio = read_audio(self.audio_path, SAMPLING_RATE)
+            return self._audio
         raise ValueError("Neither 'audio' nor 'audio_path' is provided")
 
     @audio.setter

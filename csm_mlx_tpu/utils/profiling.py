@@ -51,7 +51,11 @@ class RtfMeter:
 
     def tick(self, n_frames: int = 1) -> None:
         if self._start is None:
-            self.start()
+            # Auto-starting here would time from INSIDE the first tick:
+            # first-chunk latency reads ~0 and the (slowest, compile-paying)
+            # first frame drops out of the RTF — plausible-looking wrong
+            # numbers instead of an error.
+            raise RuntimeError("RtfMeter.tick() before start()")
         self._frames += n_frames
         if self._first_chunk_s is None:
             self._first_chunk_s = time.perf_counter() - self._start
