@@ -18,6 +18,13 @@ Usage:
 
   # produce this framework's outputs for cross-checking on a Mac:
   python benchmarks/parity_check.py ... --dump out_prefix
+
+  # validate the harness machinery itself (no real weights needed):
+  # random model saved in the reference layout -> dump -> fresh reload ->
+  # regenerate -> byte-compare against the dump. Proves the weight
+  # save/load roundtrip, deterministic generation, and the compare gates
+  # all work before the real checkpoint ever arrives.
+  python benchmarks/parity_check.py --self-test
 """
 
 from __future__ import annotations
@@ -31,8 +38,63 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def self_test() -> None:
+    """End-to-end machinery validation with synthetic weights (zero-egress
+    friendly): dump from one model instance, reload the checkpoint into a
+    FRESH instance, re-run both gates against the dump — both must PASS."""
+    import subprocess
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    import csm_mlx_tpu.tokenizers as tok_mod
+    from csm_mlx_tpu.loaders import params_to_reference_flat
+    from csm_mlx_tpu.models.csm import CSM, csm_1b
+
+    class _FakeTok:
+        bos_token = "<b>"; eos_token = "<e>"
+        bos_token_id = 1; eos_token_id = 2
+
+        def encode(self, t):
+            return [1] + [3 + (ord(c) % 50) for c in t[:24]] + [2]
+
+    tok_mod.get_text_tokenizer = lambda path=None: _FakeTok()
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+    model = CSM(csm_1b(), dtype=jnp.float32, rng=jax.random.PRNGKey(0))
+    model.params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(3), model.params["audio_head"].shape,
+        jnp.float32) * 0.02
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = os.path.join(td, "ckpt.safetensors")
+        flat = params_to_reference_flat(model.params)
+        save_file({k: np.asarray(v) for k, v in flat.items()}, ckpt)
+        del model
+
+        common = [sys.executable, os.path.abspath(__file__),
+                  "--weights", ckpt, "--mimi-weights", "RANDOM",
+                  "--max-audio-length-ms", "480", "--self-test-tokenizer"]
+        dump = os.path.join(td, "run_a")
+        r1 = subprocess.run(common + ["--dump", dump], check=True)
+        r2 = subprocess.run(
+            common + ["--ref-tokens", f"{dump}_tokens.npy",
+                      "--ref-audio", f"{dump}_audio.npy"])
+        if r2.returncode != 0:
+            print("SELF-TEST FAIL: fresh reload did not reproduce the dump")
+            sys.exit(1)
+        print("SELF-TEST PASS: save -> reload -> regenerate matches "
+              "(token parity + RMSE gates exercised end-to-end)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    if "--self-test" in sys.argv:
+        self_test()
+        return
     ap.add_argument("--weights", required=True)
     ap.add_argument("--mimi-weights", required=True)
     ap.add_argument("--text", default="Hello from Sesame.")
@@ -44,15 +106,36 @@ def main() -> None:
                     help=".npy float waveform from the MLX reference")
     ap.add_argument("--dump", default=None,
                     help="prefix: write <prefix>_tokens.npy/_audio.npy")
+    ap.add_argument("--self-test-tokenizer", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: offline fake tok
     args = ap.parse_args()
 
-    os.environ["CSM_TPU_MIMI_WEIGHTS"] = args.mimi_weights
+    if args.mimi_weights == "RANDOM":  # self-test: random-init codec
+        os.environ["HF_HUB_OFFLINE"] = "1"
+    else:
+        os.environ["CSM_TPU_MIMI_WEIGHTS"] = args.mimi_weights
 
+    import jax
+
+    if args.self_test_tokenizer:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from csm_mlx_tpu import CSM, csm_1b
     from csm_mlx_tpu.generation import _assemble_prompt, generate_tokens
     from csm_mlx_tpu.tokenizers import decode_audio
+
+    if args.self_test_tokenizer:
+        import csm_mlx_tpu.tokenizers as tok_mod
+
+        class _FakeTok:
+            bos_token = "<b>"; eos_token = "<e>"
+            bos_token_id = 1; eos_token_id = 2
+
+            def encode(self, t):
+                return [1] + [3 + (ord(c) % 50) for c in t[:24]] + [2]
+
+        tok_mod.get_text_tokenizer = lambda path=None: _FakeTok()
 
     model = CSM(csm_1b(), dtype=jnp.float32)  # fp32 for bit-stable parity
     model.load_weights(args.weights)

@@ -28,6 +28,10 @@ def add_parser(subparsers) -> None:
                    help="Coalesce up to this many concurrent requests "
                         "(default = the resident kernel's per-call batch, "
                         "the measured serving sweet spot)")
+    p.add_argument("--max-pending", type=int, default=256,
+                   help="Reject (HTTP 503) new requests past this many "
+                        "already queued — bounds worst-case latency "
+                        "instead of growing it without limit")
     p.add_argument("--transfer", choices=("int16", "float32"),
                    default="int16",
                    help="Device->host waveform transfer dtype. int16 halves "
@@ -78,13 +82,14 @@ def run(args: argparse.Namespace) -> None:
             csm, n_slots=args.slots,
             max_audio_length_ms=args.max_audio_length,
             temperature=args.temperature, watermark_key=args.watermark_key,
+            max_pending=args.max_pending,
         )
     else:
         server = TTSServer(
             csm, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             max_audio_length_ms=args.max_audio_length,
             temperature=args.temperature, watermark_key=args.watermark_key,
-            transfer=args.transfer,
+            transfer=args.transfer, max_pending=args.max_pending,
         )
 
     async def main():

@@ -50,6 +50,12 @@ import numpy as np
 from csm_mlx_tpu.segment import SAMPLING_RATE
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by synthesize() when the pending queue is at max_pending —
+    the HTTP layer maps it to 503 so clients back off instead of piling
+    unbounded latency onto the queue."""
+
+
 @dataclass
 class _Pending:
     text: str
@@ -89,6 +95,7 @@ class TTSServer:
         watermark_key: Optional[int] = None,
         mesh: Optional[Any] = None,
         transfer: str = "float32",
+        max_pending: Optional[int] = None,
     ):
         """`max_batch` defaults to the resident decoder kernel's per-call
         VMEM cap (48) — the measured serving sweet spot (PERFORMANCE.md:
@@ -102,7 +109,11 @@ class TTSServer:
         a remote-TPU tunnel); callers still receive float32, and the HTTP
         endpoints emit 16-bit PCM anyway so the roundtrip is lossless for
         them. Default float32 keeps library results bit-exact with
-        `generate_batch`."""
+        `generate_batch`.
+
+        `max_pending` bounds the admission queue: past it, synthesize()
+        raises ServerOverloaded (HTTP 503) instead of growing unbounded
+        latency. None = unbounded (library default)."""
         if transfer not in ("float32", "int16"):
             raise ValueError(f"transfer must be float32|int16, got {transfer}")
         self.model = model
@@ -114,6 +125,7 @@ class TTSServer:
         self.watermark_key = watermark_key
         self.mesh = mesh
         self.transfer = transfer
+        self.max_pending = max_pending
         self.stats = ServerStats()
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
@@ -152,9 +164,16 @@ class TTSServer:
 
     async def synthesize(self, text: str, speaker: int = 0,
                          context: Sequence = ()) -> np.ndarray:
-        """Enqueue one utterance; resolves to a float32 24 kHz waveform."""
+        """Enqueue one utterance; resolves to a float32 24 kHz waveform.
+
+        Raises ServerOverloaded when max_pending requests already wait."""
         if self._task is None:
             await self.start()
+        if self.max_pending is not None and \
+                self._queue.qsize() >= self.max_pending:
+            raise ServerOverloaded(
+                f"{self._queue.qsize()} requests pending (max_pending="
+                f"{self.max_pending})")
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self._queue.put(_Pending(text, speaker, tuple(context), fut))
         return await fut
@@ -371,6 +390,7 @@ class ContinuousTTSServer:
         sampler: Optional[Any] = None,
         watermark_key: Optional[int] = None,
         engine: Optional[Any] = None,
+        max_pending: Optional[int] = None,
     ):
         from csm_mlx_tpu.continuous import ContinuousEngine
 
@@ -378,6 +398,7 @@ class ContinuousTTSServer:
         self.model = model
         self.max_audio_length_ms = max_audio_length_ms
         self.watermark_key = watermark_key
+        self.max_pending = max_pending
         self.engine = engine or ContinuousEngine(
             model, n_slots=n_slots, max_frames=max_frames,
             max_prompt_bucket=max_prompt_bucket, temperature=temperature,
@@ -395,9 +416,17 @@ class ContinuousTTSServer:
 
     async def synthesize(self, text: str, speaker: int = 0,
                          context: Sequence = ()) -> np.ndarray:
-        """One utterance -> float32 24 kHz waveform (a recycled engine slot)."""
+        """One utterance -> float32 24 kHz waveform (a recycled engine slot).
+
+        Raises ServerOverloaded when max_pending requests already queue for
+        a slot."""
         if not self._started:
             await self.start()
+        if self.max_pending is not None and \
+                self.engine.pending() >= self.max_pending:
+            raise ServerOverloaded(
+                f"{self.engine.pending()} requests pending (max_pending="
+                f"{self.max_pending})")
         loop = asyncio.get_running_loop()
         t0 = time.monotonic()
         res = self.engine.submit(text, speaker, tuple(context))
@@ -581,9 +610,16 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                         "400 Bad Request", "application/json",
                         b'{"error": "body must be JSON with a \\"text\\" field"}'))
                 else:
-                    audio = await server.synthesize(text, int(req.get("speaker", 0)))
-                    writer.write(_http_response("200 OK", "audio/wav",
-                                                wav_bytes(audio)))
+                    try:
+                        audio = await server.synthesize(
+                            text, int(req.get("speaker", 0)))
+                    except ServerOverloaded as exc:
+                        writer.write(_http_response(
+                            "503 Service Unavailable", "application/json",
+                            json.dumps({"error": str(exc)}).encode()))
+                    else:
+                        writer.write(_http_response("200 OK", "audio/wav",
+                                                    wav_bytes(audio)))
             else:
                 writer.write(_http_response("404 Not Found", "text/plain",
                                             b"not found"))

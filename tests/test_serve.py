@@ -63,6 +63,37 @@ def test_concurrent_requests_batch_together(offline_tokenizers, model):
     assert server.stats.aggregate_rtf > 0
 
 
+def test_max_pending_backpressure(offline_tokenizers, model):
+    """Past max_pending queued requests, synthesize raises ServerOverloaded
+    (the HTTP layer maps it to 503) instead of growing unbounded latency."""
+    from csm_mlx_tpu.serve import ServerOverloaded
+
+    async def main():
+        server = TTSServer(model, max_batch=2, max_wait_ms=50,
+                           max_audio_length_ms=400, temperature=0.0,
+                           max_pending=1)
+        # Simulate a saturated admission queue with the batcher not yet
+        # draining (deterministic: no real batcher task is running).
+        server._task = asyncio.create_task(asyncio.sleep(3600))
+        fut = asyncio.get_running_loop().create_future()
+        from csm_mlx_tpu.serve import _Pending
+
+        await server._queue.put(_Pending("queued", 0, (), fut))
+        with pytest.raises(ServerOverloaded, match="max_pending"):
+            await server.synthesize("too much")
+        server._queue.get_nowait()
+        fut.cancel()
+        server._task.cancel()
+        server._task = None
+        # below the limit the server works normally
+        audio = await server.synthesize("ok now")
+        await server.stop()
+        return audio
+
+    audio = asyncio.run(main())
+    assert audio.size > 0
+
+
 def test_int16_transfer_matches_float32(offline_tokenizers, model):
     """transfer="int16" quantizes on device and dequantizes on fetch:
     callers still get float32 within one PCM16 step of the float path."""
