@@ -138,6 +138,9 @@ class TTSServer:
         # so the chip never idles waiting on it).
         self._inflight: set = set()
         self.max_inflight = 2
+        # Streams waiting for the device lock (backpressure accounting:
+        # max_pending bounds batch-queue depth AND lock-waiter depth).
+        self._streams_pending = 0
 
     async def start(self) -> None:
         if self._task is None:
@@ -185,8 +188,18 @@ class TTSServer:
         times) as opposed to `synthesize`'s throughput path. Watermarking
         is not applied here (the mark needs whole-utterance STFT framing);
         callers who need it can embed on the concatenated result.
+
+        Raises ServerOverloaded when max_pending streams already wait for
+        the device — streams queue on the device lock, so without this
+        check they would bypass the backpressure bound `synthesize` has.
         """
         from csm_mlx_tpu.generation import stream_generate
+
+        if self.max_pending is not None and \
+                self._streams_pending >= self.max_pending:
+            raise ServerOverloaded(
+                f"{self._streams_pending} streams pending (max_pending="
+                f"{self.max_pending})")
 
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
@@ -215,7 +228,11 @@ class TTSServer:
         # reader must not keep the chip idle-but-locked. The lock releases
         # from fut's done-callback even if this generator is finalized
         # early (client disconnect -> GeneratorExit -> stop.set()).
-        await self._device_lock.acquire()
+        self._streams_pending += 1
+        try:
+            await self._device_lock.acquire()
+        finally:
+            self._streams_pending -= 1
         released = False
 
         def _release(_fut) -> None:
@@ -467,9 +484,17 @@ class ContinuousTTSServer:
                                 context: Sequence = ()):
         """Async iterator of 1,920-sample float32 chunks. Unlike the
         lockstep server there is no device lock: any number of streams
-        ride the same batched frame loop concurrently."""
+        ride the same batched frame loop concurrently.
+
+        Raises ServerOverloaded when max_pending requests already queue for
+        a slot (same bound as `synthesize` — streams are slots too)."""
         if not self._started:
             await self.start()
+        if self.max_pending is not None and \
+                self.engine.pending() >= self.max_pending:
+            raise ServerOverloaded(
+                f"{self.engine.pending()} requests pending (max_pending="
+                f"{self.max_pending})")
         loop = asyncio.get_running_loop()
         res = self.engine.submit(text, speaker, tuple(context))
         q: asyncio.Queue = asyncio.Queue()
@@ -586,21 +611,46 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                         b'{"error": "body must be JSON with a \\"text\\" field"}'))
                 else:
                     # Raw 24 kHz s16le PCM over chunked transfer encoding:
-                    # one HTTP chunk per 80 ms generation chunk.
-                    writer.write(
-                        b"HTTP/1.1 200 OK\r\n"
-                        b"Content-Type: audio/L16; rate=24000\r\n"
-                        b"Transfer-Encoding: chunked\r\n"
-                        b"Connection: close\r\n\r\n")
-                    streamed = True
-                    async for chunk in server.synthesize_stream(
-                            text, int(req.get("speaker", 0))):
-                        pcm = (np.clip(chunk, -1.0, 1.0)
-                               * 32767.0).astype("<i2").tobytes()
-                        writer.write(f"{len(pcm):x}\r\n".encode())
-                        writer.write(pcm + b"\r\n")
-                        await writer.drain()
-                    writer.write(b"0\r\n\r\n")
+                    # one HTTP chunk per 80 ms generation chunk. The 200
+                    # header is deferred until the FIRST chunk arrives so
+                    # pre-stream failures (overload, generation errors) can
+                    # still answer with a real status code instead of a
+                    # truncated chunked body.
+                    gen = server.synthesize_stream(
+                        text, int(req.get("speaker", 0)))
+                    first = None
+                    overloaded: Optional[ServerOverloaded] = None
+                    try:
+                        first = await gen.__anext__()
+                    except StopAsyncIteration:
+                        pass  # empty stream: still a valid 200
+                    except ServerOverloaded as exc:
+                        overloaded = exc
+                    if overloaded is not None:
+                        writer.write(_http_response(
+                            "503 Service Unavailable", "application/json",
+                            json.dumps({"error": str(overloaded)}).encode()))
+                    else:
+                        writer.write(
+                            b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: audio/L16; rate=24000\r\n"
+                            b"Transfer-Encoding: chunked\r\n"
+                            b"Connection: close\r\n\r\n")
+                        streamed = True
+
+                        async def _rest():
+                            if first is not None:
+                                yield first
+                            async for c in gen:
+                                yield c
+
+                        async for chunk in _rest():
+                            pcm = (np.clip(chunk, -1.0, 1.0)
+                                   * 32767.0).astype("<i2").tobytes()
+                            writer.write(f"{len(pcm):x}\r\n".encode())
+                            writer.write(pcm + b"\r\n")
+                            await writer.drain()
+                        writer.write(b"0\r\n\r\n")
             elif method == "POST" and path == "/tts":
                 try:
                     req = json.loads(body or b"{}")

@@ -394,3 +394,109 @@ def test_soak_concurrent_streams_and_batches(offline_tokenizers, model):
     assert sum(1 for s in streams if s > 0) == 2  # full streams got chunks
     assert len(waves) == 9 and all(w.size > 0 for w in waves)
     assert server.stats.requests >= 11
+
+
+def test_stream_backpressure(offline_tokenizers, model):
+    """Streams queue on the device lock; past max_pending waiting streams
+    synthesize_stream raises ServerOverloaded instead of piling latency."""
+    from csm_mlx_tpu.serve import ServerOverloaded
+
+    async def main():
+        server = TTSServer(model, max_wait_ms=10, max_audio_length_ms=400,
+                           temperature=0.0, max_pending=1)
+        # Hold the device so the first stream parks as a lock waiter.
+        await server._device_lock.acquire()
+        gen1 = server.synthesize_stream("waits for device")
+        t1 = asyncio.ensure_future(gen1.__anext__())
+        for _ in range(20):
+            await asyncio.sleep(0)
+            if server._streams_pending >= 1:
+                break
+        assert server._streams_pending == 1
+        gen2 = server.synthesize_stream("too many")
+        with pytest.raises(ServerOverloaded, match="max_pending"):
+            await gen2.__anext__()
+        # Unblock stream 1: it must still run to completion.
+        server._device_lock.release()
+        chunks = [await t1]
+        async for c in gen1:
+            chunks.append(c)
+        await server.stop()
+        return chunks
+
+    chunks = asyncio.run(main())
+    assert len(chunks) >= 2 and all(c.shape == (1920,) for c in chunks)
+
+
+def test_continuous_stream_backpressure(offline_tokenizers, model):
+    """ContinuousTTSServer streams respect max_pending (same slot-queue
+    bound as synthesize)."""
+    from csm_mlx_tpu.serve import ContinuousTTSServer, ServerOverloaded
+
+    async def main():
+        server = ContinuousTTSServer(model, n_slots=2, max_prompt_bucket=32,
+                                     max_audio_length_ms=400,
+                                     temperature=0.0, max_pending=1)
+        server._started = True  # engine deliberately NOT driving
+        server.engine.submit("parked in queue")
+        assert server.engine.pending() == 1
+        gen = server.synthesize_stream("too many")
+        with pytest.raises(ServerOverloaded, match="max_pending"):
+            await gen.__anext__()
+
+    asyncio.run(main())
+
+
+def test_http_stream_overload_returns_503(offline_tokenizers, model):
+    """/tts-stream defers the chunked 200 header until the first chunk, so
+    an overloaded stream answers with a real 503 status."""
+    from csm_mlx_tpu.serve import ContinuousTTSServer
+
+    async def main():
+        server = ContinuousTTSServer(model, n_slots=2, max_prompt_bucket=32,
+                                     max_audio_length_ms=400,
+                                     temperature=0.0, max_pending=0)
+        http = await serve_http(server, host="127.0.0.1", port=0)
+        port = http.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"text": "overloaded"}).encode()
+        writer.write(
+            f"POST /tts-stream HTTP/1.1\r\nContent-Length: {len(body)}"
+            f"\r\n\r\n".encode() + body)
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        http.close()
+        await http.wait_closed()
+        await server.stop()
+        return raw
+
+    raw = asyncio.run(main())
+    assert raw.startswith(b"HTTP/1.1 503")
+    assert b"Transfer-Encoding: chunked" not in raw
+
+
+def test_http_stream_prestream_error_returns_500(model):
+    """A generation failure BEFORE the first chunk yields a proper 500, not
+    a truncated chunked 200 (no tokenizer fake installed -> stream_generate
+    raises at its first step)."""
+    async def main():
+        server = TTSServer(model, max_wait_ms=10, max_audio_length_ms=400,
+                           temperature=0.0)
+        http = await serve_http(server, host="127.0.0.1", port=0)
+        port = http.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"text": "boom"}).encode()
+        writer.write(
+            f"POST /tts-stream HTTP/1.1\r\nContent-Length: {len(body)}"
+            f"\r\n\r\n".encode() + body)
+        await writer.drain()
+        raw = await asyncio.wait_for(reader.read(), timeout=60)
+        writer.close()
+        http.close()
+        await http.wait_closed()
+        await server.stop()
+        return raw
+
+    raw = asyncio.run(main())
+    assert raw.startswith(b"HTTP/1.1 500")
