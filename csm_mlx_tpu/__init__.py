@@ -57,7 +57,7 @@ __all__ = [
     "ContinuousEngine",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.2.1"
 
 
 def __getattr__(name):

@@ -301,7 +301,8 @@ def _resident_env_key() -> Tuple[str, ...]:
     return (os.environ.get("CSM_TPU_RESIDENT_DECODER", "1"),
             os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"),
             os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1"),
-            os.environ.get("CSM_TPU_FLASH_PREFILL", "1"))
+            os.environ.get("CSM_TPU_FLASH_PREFILL", "1"),
+            os.environ.get("CSM_TPU_QUANT_PALLAS", "1"))
 
 
 def _env_keyed(cached_builder):

@@ -267,29 +267,41 @@ class TTSServer:
             stop.set()
 
     async def _batcher(self) -> None:
-        while True:
-            first = await self._queue.get()
-            batch = [first]
-            deadline = time.monotonic() + self.max_wait_ms / 1000.0
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    batch.append(await asyncio.wait_for(self._queue.get(),
-                                                        timeout=remaining))
-                except asyncio.TimeoutError:
-                    break
-            # Pipeline: hand the batch to its own task and go back to
-            # admitting requests — batch N+1 generates on the device while
-            # batch N's host transfers drain (the device lock inside
-            # _run_batch still serializes device programs).
-            while len(self._inflight) >= self.max_inflight:
-                await asyncio.wait(self._inflight,
-                                   return_when=asyncio.FIRST_COMPLETED)
-            task = asyncio.create_task(self._run_batch(batch))
-            self._inflight.add(task)
-            task.add_done_callback(self._inflight.discard)
+        # `batch` lives outside the try: a stop() may cancel this task at
+        # any await while requests are already dequeued but not yet handed
+        # to a _run_batch task — those futures must be failed here or their
+        # callers hang forever (stop()'s queue drain can no longer see them).
+        batch: List[_Pending] = []
+        try:
+            while True:
+                first = await self._queue.get()
+                batch = [first]
+                deadline = time.monotonic() + self.max_wait_ms / 1000.0
+                while len(batch) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(await asyncio.wait_for(
+                            self._queue.get(), timeout=remaining))
+                    except asyncio.TimeoutError:
+                        break
+                # Pipeline: hand the batch to its own task and go back to
+                # admitting requests — batch N+1 generates on the device while
+                # batch N's host transfers drain (the device lock inside
+                # _run_batch still serializes device programs).
+                while len(self._inflight) >= self.max_inflight:
+                    await asyncio.wait(self._inflight,
+                                       return_when=asyncio.FIRST_COMPLETED)
+                task = asyncio.create_task(self._run_batch(batch))
+                batch = []
+                self._inflight.add(task)
+                task.add_done_callback(self._inflight.discard)
+        except asyncio.CancelledError:
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(RuntimeError("TTS server stopped"))
+            raise
 
     async def _run_batch(self, batch: List[_Pending]) -> None:
         from csm_mlx_tpu.generation import generate_batch

@@ -206,6 +206,63 @@ def test_fail_all_finishes_flush_pending_requests(model):
         res.wait(0)
 
 
+def test_fail_all_covers_readmitted_flush_pending(model):
+    """A cap-finished request whose slot was RE-ADMITTED (prov_req now the
+    new request) exists only in the in-flight payloads; _fail_all must scan
+    those too or its consumer hangs forever on the end sentinel."""
+    from csm_mlx_tpu.continuous import ContinuousResult
+
+    eng = _engine(model)
+    old = ContinuousResult(4, model.args.n_audio_codebooks)
+    new = ContinuousResult(4, model.args.n_audio_codebooks)
+    admitted = ContinuousResult(4, model.args.n_audio_codebooks)
+    slot = eng._slots[0]
+    slot.req, slot.prov_req, slot.flush_step = new, new, None
+    # `old` rides an unfetched step block; `admitted` an unfetched admit.
+    eng._inflight.append(("step", ([(old, 3), (None, 0)], 5), None))
+    eng._inflight.append(("admit", ([(1, admitted)], 6), None))
+    eng._fail_all(RuntimeError("stopped"))
+    for res in (old, new, admitted):
+        assert res.done.is_set()
+        with pytest.raises(RuntimeError):
+            res.wait(0)
+    assert not eng._inflight
+
+
+def test_mimi_rebase_keeps_index_bounded(model):
+    """The Mimi ring index advances `downsample_stride` TOKENS per frame;
+    the periodic rebase must compute its shift in token units or the index
+    grows ~1/frame forever and rotary phases eventually lose precision."""
+    import dataclasses
+    import csm_mlx_tpu.tokenizers as tok_mod
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    eng = _engine(model, n_slots=1, codec=True)
+    stride = eng._mimi.cfg.downsample_stride
+    w = int(eng._dec_state.transformer.window)
+
+    def advance(frames):
+        # Simulate `frames` dispatched frames: the engine's counters plus
+        # the device-side index exactly as mimi_decode_step_fn advances it.
+        eng._frames_total += frames
+        tr = eng._dec_state.transformer
+        eng._dec_state = dataclasses.replace(
+            eng._dec_state,
+            transformer=dataclasses.replace(
+                tr, index=tr.index + stride * frames))
+
+    for _epoch in range(3):
+        advance(eng._MIMI_REBASE_AT)
+        eng._maybe_rebase()
+        idx = int(eng._dec_state.transformer.index)
+        # Exact bookkeeping: index == stride*frames - applied shift ...
+        assert idx == stride * eng._frames_total - eng._mimi_rebased
+        # ... and bounded: the residue lands in [2w, 3w) after EVERY epoch
+        # (the frame-unit bug instead kept a residue that grew ~1/frame).
+        assert 2 * w <= idx < 3 * w
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
 def test_capacity_slack_must_cover_step_block(model):
     with pytest.raises(ValueError, match="capacity_slack"):
         _engine(model, capacity_slack=2, frames_per_step=3)

@@ -94,6 +94,28 @@ def test_max_pending_backpressure(offline_tokenizers, model):
     assert audio.size > 0
 
 
+def test_stop_fails_batch_held_by_batcher(offline_tokenizers, model):
+    """stop() may cancel the batcher while it holds an already-dequeued
+    batch (waiting out max_wait_ms for more requests). Those futures are
+    invisible to stop()'s queue drain — the batcher itself must fail them
+    on cancellation, or the callers hang forever."""
+    async def main():
+        server = TTSServer(model, max_batch=4, max_wait_ms=60_000,
+                           max_audio_length_ms=400, temperature=0.0)
+        task = asyncio.create_task(server.synthesize("held"))
+        # Let the batcher dequeue the request and park in its wait window.
+        for _ in range(20):
+            await asyncio.sleep(0.01)
+            if server._queue.empty():
+                break
+        assert server._queue.empty(), "batcher never picked up the request"
+        await asyncio.wait_for(server.stop(), timeout=5)
+        with pytest.raises(RuntimeError, match="stopped"):
+            await asyncio.wait_for(task, timeout=5)
+
+    asyncio.run(main())
+
+
 def test_int16_transfer_matches_float32(offline_tokenizers, model):
     """transfer="int16" quantizes on device and dequantizes on fetch:
     callers still get float32 within one PCM16 step of the float path."""
