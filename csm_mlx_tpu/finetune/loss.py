@@ -165,8 +165,7 @@ def compute_loss(
         ci_ce_b = ci_ce.reshape(b, s - 1, n_cb - 1)
         vmask_b = vmask.reshape(b, s - 1, n_cb - 1)
         per_cb = _masked_mean(
-            ci_ce_b.transpose(0, 2, 1).reshape(b, n_cb - 1, s - 1),
-            vmask_b.transpose(0, 2, 1).reshape(b, n_cb - 1, s - 1),
+            ci_ce_b.transpose(0, 2, 1), vmask_b.transpose(0, 2, 1),
             axis=-1,
         )  # (B, K-1)
         total = total + per_cb.sum(axis=-1) / n_cb

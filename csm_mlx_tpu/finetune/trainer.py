@@ -694,6 +694,21 @@ class KTOTrainer(CSMTrainer):
         self.desirable_weight = args.desirable_weight
         self.undesirable_weight = args.undesirable_weight
         self.reference_model = args.reference_model
+        # The frozen reference's params enter _loss_fn as jit constants, so
+        # they must carry the same placement as the policy params: under
+        # FSDP an unsharded copy would otherwise replicate onto every chip
+        # and claw back most of ZeRO-3's memory saving.
+        if args.mesh is not None:
+            if args.param_sharding == "fsdp":
+                from csm_mlx_tpu.parallel.mesh import shard_params_fsdp
+
+                self.reference_model.params = shard_params_fsdp(
+                    self.reference_model.params, args.mesh)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self.reference_model.params = jax.device_put(
+                    self.reference_model.params, NamedSharding(args.mesh, P()))
 
     def _loss_fn(self, params, batch, rng):
         args = self.model.args

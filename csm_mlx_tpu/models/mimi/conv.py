@@ -148,6 +148,14 @@ def causal_conv1d_streaming(
     state.prev holds the last `pad` input samples (zeros at t=0); output is
     identical to slicing the batch causal conv at the same offsets.
     """
+    if stride > 1 and x.shape[-1] % stride != 0:
+        # A partial stride window would leave consumed-vs-carried samples
+        # misaligned (prev keeps the last `pad` samples assuming the chunk
+        # ended on a stride boundary) — every later output would be silently
+        # shifted. Fail like the transposed-conv sibling does.
+        raise ValueError(
+            f"streamed conv chunk length {x.shape[-1]} must be a multiple "
+            f"of stride {stride}")
     pad = causal_pad_amount(params["weight"].shape[-1], stride, dilation)
     if pad == 0:
         return conv1d(params, x, stride=stride, dilation=dilation, groups=groups), state

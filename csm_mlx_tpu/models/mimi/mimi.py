@@ -229,7 +229,12 @@ class Mimi:
 
     def encode(self, audio, num_quantizers: Optional[int] = None) -> jax.Array:
         """(B, 1, T) waveform -> (B, K, F) codes. T padded to whole frames."""
-        nq = num_quantizers or self.cfg.num_quantizers
+        nq = (self.cfg.num_quantizers if num_quantizers is None
+              else num_quantizers)
+        if not 1 <= nq <= self.cfg.num_quantizers:
+            raise ValueError(
+                f"num_quantizers={nq} out of range [1, "
+                f"{self.cfg.num_quantizers}]")
         audio = jnp.asarray(audio, dtype=jnp.float32)
         t = audio.shape[-1]
         frames = -(-t // self.frame_size)
@@ -307,7 +312,12 @@ class Mimi:
         """(B, 1, frame_size) audio -> ((B, K, 1) codes, state').
 
         `state=None` uses the internal stream state (see decode_step)."""
-        nq = num_quantizers or self.cfg.num_quantizers
+        nq = (self.cfg.num_quantizers if num_quantizers is None
+              else num_quantizers)
+        if not 1 <= nq <= self.cfg.num_quantizers:
+            raise ValueError(
+                f"num_quantizers={nq} out of range [1, "
+                f"{self.cfg.num_quantizers}]")
         stateful = state is None
         if stateful:
             if getattr(self, "_stream_encode_state", None) is None:

@@ -75,8 +75,6 @@ def map_mimi_state_dict(
     state: Dict[str, np.ndarray], cfg: MimiConfig, dtype=jnp.float32
 ) -> Dict[str, Any]:
     """Map a raw checkpoint dict (HF or moshi naming) to the param pytree."""
-    is_moshi = any(k.startswith("encoder.model.") for k in state)
-
     tree: Dict[str, Any] = {
         "encoder": {"stages": [
             {"residual": [{} for _ in range(cfg.num_residual_layers)]}
@@ -223,7 +221,6 @@ def map_mimi_state_dict(
             "mimi loader: %d unused checkpoint keys (e.g. %s)",
             len(unused), unused[:5],
         )
-    _ = is_moshi
     return tree
 
 

@@ -92,7 +92,7 @@ def ring_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     """Causal GQA attention with the sequence dim sharded over `axis`.
 
     Args:
-      q: (B, n_heads, S, D) — S must divide mesh.shape[axis].
+      q: (B, n_heads, S, D) — mesh.shape[axis] must divide S.
       k, v: (B, n_kv, S, D).
       scale: softmax scale (head_dim ** -0.5 in the CSM stack).
       mesh: mesh containing `axis`; inputs may be unsharded (shard_map

@@ -198,3 +198,14 @@ def test_stateful_decode_step_and_reset(tiny_mimi):
     tiny_mimi.reset_state()
     b1 = np.asarray(tiny_mimi.decode_step(codes))
     np.testing.assert_allclose(a1, b1, rtol=1e-5, atol=1e-6)
+
+def test_encode_num_quantizers_validated(tiny_mimi):
+    """num_quantizers=0 must raise, not silently fall back to the full
+    codebook set (the old falsy-`or` default), and out-of-range must raise."""
+    audio = jnp.zeros((1, 1, tiny_mimi.frame_size), jnp.float32)
+    for bad in (0, -1, TINY.num_quantizers + 1):
+        with pytest.raises(ValueError, match="num_quantizers"):
+            tiny_mimi.encode(audio, num_quantizers=bad)
+    # None still means "all" (shape checked in test_shapes_roundtrip).
+    codes = tiny_mimi.encode(audio, num_quantizers=2)
+    assert codes.shape[1] == 2

@@ -74,3 +74,15 @@ def test_streaming_convtr_matches_batch():
             np.asarray(full), np.asarray(stream), rtol=1e-5, atol=1e-5,
             err_msg=f"k={k} s={stride} g={groups}",
         )
+
+def test_streaming_conv_rejects_partial_stride_chunk():
+    """A chunk that doesn't end on a stride boundary would silently shift
+    every later output (the carried context assumes whole windows) — the
+    streaming conv must raise instead, like its transposed sibling."""
+    import pytest
+
+    p = _params(5, 3, 4, seed=3)
+    state = make_conv_state(3, 4, 2, 1, 2)
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 3, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="multiple"):
+        causal_conv1d_streaming(p, x, state, stride=2)

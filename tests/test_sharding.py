@@ -161,6 +161,30 @@ def test_shard_params_indivisible_vocab_replicates():
     assert qspec[0] == "model", qspec
 
 
+def test_kto_reference_model_is_sharded_too(monkeypatch, tmp_path):
+    """The frozen KTO reference enters the loss as jit constants; it must
+    carry the same FSDP placement as the policy params or a full unsharded
+    copy replicates onto every chip (defeating ZeRO-3's memory saving)."""
+    import csm_mlx_tpu.parallel.mesh as mesh_mod
+    from csm_mlx_tpu.finetune.trainer import KTOArgs, KTOTrainer
+    from test_trainer import _batch
+
+    monkeypatch.setattr(mesh_mod, "_FSDP_MIN_BYTES", 1024)
+    mesh = create_mesh({"data": 8})
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(7))
+    ref = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(8))
+    trainer = KTOTrainer(KTOArgs(
+        model=model, optimizer=optax.sgd(1e-3), output_dir=tmp_path / "kto",
+        ckpt_freq=0, reference_model=ref, beta=0.1, mesh=mesh,
+        learning_rate=1e-3, param_sharding="fsdp"))
+    w = trainer.reference_model.params["backbone"]["layers"][0]["mlp"][
+        "gate_proj"]["weight"]
+    assert "data" in tuple(w.sharding.spec), w.sharding.spec
+    batch = _batch(tiny_args(), b=8, s=6)
+    batch["preferences"] = np.asarray([1, -1] * 4, dtype=np.int32)
+    assert np.isfinite(trainer.train_step(batch))
+
+
 def test_fsdp_train_step_matches_replicated(monkeypatch):
     """FSDP (params + opt state stored sharded over "data") computes the
     same loss/updates as plain replicated DP, and the Adam moments really
