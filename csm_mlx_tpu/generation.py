@@ -50,7 +50,10 @@ FRAME_MS = 80  # one RVQ frame = 80 ms (generation.py:106)
 # per-step weight streaming across the whole frame (measured RTF 10.6 vs 8.7
 # at unroll=5 on TPU v5e; PERFORMANCE.md round 2). Override to trade compile
 # time for decode speed.
-DECODER_SCAN_UNROLL = int(os.environ.get("CSM_TPU_DECODER_UNROLL", "31"))
+def _decoder_scan_unroll() -> int:
+    # Read at trace time (and folded into _resident_env_key) so
+    # toggling it mid-process takes effect like the sibling knobs.
+    return int(os.environ.get("CSM_TPU_DECODER_UNROLL", "31"))
 
 
 def _dtype_name(dtype) -> str:
@@ -232,7 +235,6 @@ def _decode_frame(
 
     dcache = KVCache.init(dcfg, b, n_cb + 1, dtype=last_hidden.dtype)
     cap = n_cb + 1
-    k_idx = jnp.arange(cap, dtype=jnp.int32)
 
     def dec_bias(q_len, index):
         causal = causal_mask_bias(q_len, cap, q_offset=index)
@@ -269,7 +271,7 @@ def _decode_frame(
     # (the loop is HBM-bound; each step re-reads the decoder weights).
     (dcache, key, _), rest = jax.lax.scan(
         body, (dcache, key, c1), jnp.arange(2, n_cb, dtype=jnp.int32),
-        unroll=DECODER_SCAN_UNROLL,
+        unroll=_decoder_scan_unroll(),
     )
     frame = jnp.concatenate(
         [c0[:, None], c1[:, None], rest.transpose(1, 0)], axis=1
@@ -302,7 +304,8 @@ def _resident_env_key() -> Tuple[str, ...]:
             os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"),
             os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1"),
             os.environ.get("CSM_TPU_FLASH_PREFILL", "1"),
-            os.environ.get("CSM_TPU_QUANT_PALLAS", "1"))
+            os.environ.get("CSM_TPU_QUANT_PALLAS", "1"),
+            os.environ.get("CSM_TPU_DECODER_UNROLL", "31"))
 
 
 def _env_keyed(cached_builder):
@@ -869,17 +872,46 @@ def generate_long(
         function exists to avoid."""
         if len(txt_tok.encode(f"[{speaker}]{sentence}")) < budget:
             return [sentence]
+
+        def hard_split(word: str) -> List[str]:
+            # Character-level fallback for a single space-less "word" that
+            # alone exceeds the budget (CJK prose — the sentence splitter
+            # only knows ASCII enders — or a long URL). Bisect for the
+            # largest prefix that fits; always take >= 1 char so a
+            # pathological budget still terminates.
+            out: List[str] = []
+            lo = 0
+            while lo < len(word):
+                best, lo_b, hi_b = lo + 1, lo + 1, len(word)
+                while lo_b <= hi_b:
+                    mid = (lo_b + hi_b) // 2
+                    if len(txt_tok.encode(
+                            f"[{speaker}]{word[lo:mid]}")) < budget:
+                        best, lo_b = mid, mid + 1
+                    else:
+                        hi_b = mid - 1
+                out.append(word[lo:best])
+                lo = best
+            return out
+
         parts: List[str] = []
         cur: List[str] = []
-        for w in sentence.split():
+
+        def flush():
+            if cur:
+                parts.append(" ".join(cur))
+                cur.clear()
+
+        for w in sentence.split() or [sentence]:
+            if len(txt_tok.encode(f"[{speaker}]{w}")) >= budget:
+                flush()
+                parts.extend(hard_split(w))
+                continue
             cand = " ".join(cur + [w])
             if cur and len(txt_tok.encode(f"[{speaker}]{cand}")) >= budget:
-                parts.append(" ".join(cur))
-                cur = [w]
-            else:
-                cur.append(w)
-        if cur:
-            parts.append(" ".join(cur))
+                flush()
+            cur.append(w)
+        flush()
         return parts
 
     sentences = [p for s in sentences for p in fit_sentence(s)]

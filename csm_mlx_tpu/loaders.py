@@ -130,6 +130,13 @@ def load_csm_weights(
         return tree
     merged = dict(existing or {})
     _merge(merged, tree)
+    # Derived "_"-prefixed caches (e.g. the "_resident" frame-kernel tables)
+    # snapshot the weights they were built from; a partial load would leave
+    # them serving STALE weights while the dispatched path uses the new ones
+    # (trainer.__init__ and parallel.shard_model drop them for the same
+    # reason). Re-derive via quantize_model/prepare_resident_decoder.
+    for k in [k for k in merged if isinstance(k, str) and k.startswith("_")]:
+        del merged[k]
     return merged
 
 

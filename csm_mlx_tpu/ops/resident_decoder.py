@@ -418,6 +418,14 @@ def prepare_resident_decoder(model) -> bool:
     if dcfg.num_attention_heads * dcfg.head_dim != dcfg.hidden_size:
         return False
 
+    # Live LoRA adapters on any consumed component would be silently
+    # dropped from the snapshot (ops/layers.linear applies the lora delta
+    # on top of weight_q; the kernel tables would not) — resident and
+    # dispatched decode would then diverge with no error. Fall back.
+    if any(isinstance(p.get(k), dict) and "lora_a" in p[k]
+           for k in ("projection", "audio_embeddings")):
+        return False
+
     layers = []
     for lp in dec["layers"]:
         at, mlp = lp["self_attn"], lp["mlp"]
@@ -426,7 +434,7 @@ def prepare_resident_decoder(model) -> bool:
         parts = (at["qkv_proj"], at["o_proj"], mlp["gateup_proj"],
                  mlp["down_proj"])
         if any("weight_q" not in q or q["weight_q"].dtype != jnp.int8
-               for q in parts):
+               or "lora_a" in q for q in parts):
             return False
         qkv, o, gu, dn = parts
         layers.append([

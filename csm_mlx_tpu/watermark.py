@@ -31,9 +31,10 @@ Multiplicative spread-spectrum in the STFT magnitude domain:
   are the only randomness, the null variance of each slot correlation is
   exactly `Σ_b L²` over the aggregated cells, giving a calibrated z-score
   with no training or reference signal — even on pathological (tonal,
-  stationary) host audio. The presence score is the mean |z| over payload
-  slots (≈0.80 for unwatermarked audio, O(10) for marked audio); bit `p`
-  is `sign(z_p)`.
+  stationary) host audio. The presence score is the BEST (max) mean |z|
+  over the payload_len rotation hypotheses; the max inflates the null
+  above a single mean|z|'s 0.798: measured ≈1.05 ± 0.09 on unwatermarked
+  audio (1–10 s), vs O(10) for marked audio. Bit `p` is `sign(z_p)`.
 
 The mark survives gain changes, additive noise, 16-bit requantisation, and
 trims by whole STFT hops (the detector runs a rotation search over payload
@@ -60,7 +61,10 @@ BAND_LO = int(1000 * FRAME / SAMPLE_RATE)   # 42
 BAND_HI = int(8000 * FRAME / SAMPLE_RATE)   # 341
 DEFAULT_PAYLOAD_LEN = 16
 DEFAULT_STRENGTH = 0.06
-DEFAULT_THRESHOLD = 2.0  # mean|z|; null is 0.798 ± 0.60/sqrt(P)
+DEFAULT_THRESHOLD = 2.0  # max-over-rotations mean|z|; measured null
+#   ≈ 1.05 ± 0.09 (the rotation search takes a max over payload_len
+#   hypotheses, inflating the single-rotation 0.798 null). Tune any
+#   custom threshold against the MAX statistic, not the plain mean.
 BIN_BLOCK = 4      # chips constant over blocks of adjacent bins (see above)
 EMBED_ITERS = 2    # magnitude-target consistency projection iterations
 
@@ -184,8 +188,10 @@ def detect_watermark(
     """Detect/decode a watermark embedded with the same key. Jittable.
 
     Gain-invariant (log-magnitude feature) and calibrated: on unwatermarked
-    audio the per-slot z-scores are ~N(0, 1), so `score` (mean |z|) sits
-    near 0.80 regardless of content; `present` compares it to `threshold`.
+    audio the per-slot z-scores are ~N(0, 1). `score` is the max over the
+    payload_len rotation hypotheses of mean |z|, so its null sits near 1.05
+    (NOT the single-rotation 0.798) regardless of content; `present`
+    compares it to `threshold`.
     """
     audio = jnp.asarray(audio)
     if audio.ndim == 2:

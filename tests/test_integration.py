@@ -183,6 +183,37 @@ def test_generate_long_wall_of_text_single_sentence(offline_tokenizers):
     assert np.asarray(out).shape[0] > 0
 
 
+def test_generate_long_spaceless_text(monkeypatch):
+    """Space-less oversize text (CJK prose, URLs — no ASCII sentence enders,
+    no spaces) must hard-split at character level, not crash generate() with
+    the context-window error generate_long exists to avoid. Uses a
+    NON-truncating fake tokenizer so encoded length really scales with
+    text (the module FakeTextTokenizer caps at 10 chars)."""
+    import dataclasses
+
+    import csm_mlx_tpu.config as config_mod
+    from csm_mlx_tpu.generation import generate_long
+
+    class LongFakeTokenizer(FakeTextTokenizer):
+        def encode(self, text: str):
+            return [1] + [3 + (ord(c) % 50) for c in text] + [2]
+
+    monkeypatch.setattr(tok_mod, "get_text_tokenizer",
+                        lambda path=None: LongFakeTokenizer())
+    tok_mod.get_audio_tokenizer.cache_clear()
+    config_mod.BACKBONE_CONFIGURATION["tiny_narrow4"] = dataclasses.replace(
+        config_mod.BACKBONE_CONFIGURATION["tiny"],
+        max_position_embeddings=64)
+    args = dataclasses.replace(tiny_args(n_codebooks=8),
+                               backbone_name="tiny_narrow4")
+    narrow = CSM(args, dtype=jnp.float32, rng=jax.random.PRNGKey(2))
+    text = "字义语音" * 35  # 140 chars, no spaces/enders
+    out = generate_long(narrow, text, speaker=0, rolling_context=1,
+                        max_segment_audio_ms=240, temperature=0.0)
+    assert np.asarray(out).shape[0] > 0
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
 def test_generate_batch_mismatched_lengths_raise(offline_tokenizers, model):
     from csm_mlx_tpu.generation import generate_batch
 

@@ -262,6 +262,44 @@ def test_chunked_resident_matches_single_call(quant_model, monkeypatch):
     assert generation._use_resident_decoder(model.params, sampler, b) == 0
 
 
+def test_prepare_bails_on_live_lora_adapters():
+    """quantize-after-LoRA leaves weight_q + lora_a dicts that
+    ops.layers.linear honors; the resident snapshot would silently drop the
+    adapters, so prepare must fall back to the dispatched path."""
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(11))
+    model.params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(12), model.params["audio_head"].shape,
+        dtype=jnp.float32)
+    out_d, in_d = model.params["projection"]["weight"].shape
+    model.params["projection"]["lora_a"] = jnp.zeros((8, in_d), jnp.float32)
+    model.params["projection"]["lora_b"] = jnp.zeros((out_d, 8), jnp.float32)
+    model.params["projection"]["lora_scale"] = jnp.asarray(1.0)
+    quantize_model(model, mode="w8a8", min_size=1,
+                   targets=("decoder", "projection"), fuse=True)
+    assert "lora_a" in model.params["projection"]  # quant kept the adapter
+    assert not prepare_resident_decoder(model)
+    assert "_resident" not in model.params
+
+
+def test_nonstrict_load_drops_resident_snapshot(quant_model, tmp_path):
+    """A partial (strict=False) weight load invalidates the _resident
+    tables: they snapshot the weights they were built from and would
+    otherwise keep serving STALE weights while the dispatched path uses
+    the new ones."""
+    from csm_mlx_tpu.loaders import save_csm_weights
+
+    assert "_resident" in quant_model.params
+    fresh = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(13))
+    path = str(tmp_path / "partial.safetensors")
+    save_csm_weights(path, {"audio_head": fresh.params["audio_head"]})
+    try:
+        quant_model.load_weights(path, strict=False)
+        assert "_resident" not in quant_model.params
+    finally:
+        # module-scoped fixture: restore the tables for later tests
+        prepare_resident_decoder(quant_model)
+
+
 def test_sampler_gate():
     from csm_mlx_tpu.ops.sampling import SamplerConfig
 
