@@ -217,20 +217,23 @@ class OnlineASRProcessor:
         hyp = self._drop_committed(self._hypothesis())
         # LocalAgreement-2: commit the longest common prefix (by normalized
         # word) of the previous and current hypotheses. Punctuation-only
-        # tokens (empty after normalization) auto-agree, but consume only
-        # the *current* position — pairing them against a previous word
-        # would shift the comparison and commit unagreed words.
+        # tokens (empty after normalization) consume only the *current*
+        # position — pairing them against a previous word would shift the
+        # comparison — and LEADING punctuation is held back until a real
+        # word actually agrees: committing it eagerly would advance the
+        # committed frontier over unconfirmed audio (its timestamp can span
+        # seconds) and permanently swallow the utterance's opening words.
         agreed: List[AsrWord] = []
+        pending: List[AsrWord] = []  # leading punct awaiting agreement
+        commit_ci = 0  # hyp index just past the last committed token
         pi = ci = 0
         while ci < len(hyp):
             if _norm(hyp[ci].word) == "":
-                if not agreed and pi >= len(self._prev_hyp):
-                    # A stray LEADING punctuation token with no previous
-                    # hypothesis covering it must not commit: it would
-                    # advance the committed frontier past real audio and
-                    # permanently swallow the utterance's opening words.
-                    break
-                agreed.append(hyp[ci])
+                if agreed:
+                    agreed.append(hyp[ci])
+                    commit_ci = ci + 1
+                else:
+                    pending.append(hyp[ci])
                 ci += 1
                 continue
             if pi >= len(self._prev_hyp):
@@ -239,12 +242,15 @@ class OnlineASRProcessor:
                 pi += 1  # stale punctuation in prev: skip, don't consume cur
                 continue
             if _norm(self._prev_hyp[pi].word) == _norm(hyp[ci].word):
+                agreed.extend(pending)
+                pending.clear()
                 agreed.append(hyp[ci])
                 pi += 1
                 ci += 1
+                commit_ci = ci
             else:
                 break
-        self._prev_hyp = hyp[ci:]
+        self._prev_hyp = hyp[commit_ci:]
         text = self._commit(agreed)
 
         if agreed:

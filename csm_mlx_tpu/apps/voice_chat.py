@@ -29,6 +29,7 @@ import asyncio
 import logging
 import re
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable, Iterator, List, Optional, Protocol
@@ -337,6 +338,8 @@ async def vad_stt_worker(state: ConversationState, stt, executor) -> None:
     loop = asyncio.get_running_loop()
     silence_run = 0.0
     speech_seen = False
+    preroll: deque = deque()  # silent-mic chunks, bounded to ~1 s
+    preroll_len = 0
     while not state.shutdown.is_set():
         try:
             chunk = await asyncio.wait_for(state.audio_in_q.get(), timeout=0.25)
@@ -367,10 +370,27 @@ async def vad_stt_worker(state: ConversationState, stt, executor) -> None:
             continue
         rms = float(np.sqrt(np.mean(np.square(chunk)))) if len(chunk) else 0.0
         if rms > 0.01:
+            if not speech_seen:
+                # Replay the bounded pre-roll so the utterance onset keeps
+                # its leading context.
+                for pre in preroll:
+                    stt.insert_audio_chunk(pre)
+                preroll.clear()
+                preroll_len = 0
             speech_seen = True
             silence_run = 0.0
         else:
             silence_run += len(chunk) / STT_SAMPLE_RATE
+        if not speech_seen:
+            # Idle mic: never feed the STT buffer (it would grow without
+            # bound — hours of silence is ~230 MB and an O(n^2) np.append
+            # treadmill, then one giant whisper call at speech onset).
+            # Keep only ~1 s of pre-roll for onset context.
+            preroll.append(chunk)
+            preroll_len += len(chunk)
+            while preroll and preroll_len > STT_SAMPLE_RATE:
+                preroll_len -= len(preroll.popleft())
+            continue
         stt.insert_audio_chunk(chunk)
         if speech_seen:
             text = await loop.run_in_executor(executor, stt.process_iter)
@@ -437,7 +457,11 @@ async def llm_worker(state: ConversationState, llm: LLMBackend,
 # "<|assistant|>" a raw decode starts with) is stripped, not a stop.
 _LLM_END_TOKEN = "<|eot_id|>"
 _LLM_ROLE_MARKERS = ("user|>", "assistant|>", "<|end|>")
-_LEADING_HEADER_RE = re.compile(r"^\s*(?:<\|[a-zA-Z_]+\|>\s*|</?s>\s*)+")
+# Never strip stop tokens (eot_id/end): a reply that BEGINS with one is an
+# empty turn and must stop there — deleting it as scaffolding would let
+# run-past-turn text through to TTS.
+_LEADING_HEADER_RE = re.compile(
+    r"^\s*(?:<\|(?!eot_id\||end\|)[a-zA-Z_]+\|>\s*|</?s>\s*)+")
 
 
 async def _stream_llm_reply(state: ConversationState, result, loop,
@@ -511,8 +535,16 @@ async def _stream_llm_reply(state: ConversationState, result, loop,
 async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                      executor, speaker: int = 0) -> None:
     """Per-sentence streaming TTS with fade-out barge-in and rolling context
-    (reference :875-1197)."""
+    (reference :875-1197).
+
+    Generator calls run on a DEDICATED single-thread pool, not the shared
+    executor: a wedged next() (the case TTS_TIMEOUT_S exists for) parks its
+    thread forever, and on the shared 4-thread pool a few such timeouts
+    would starve STT/LLM and freeze the whole pipeline. On a wedged
+    timeout the pool is abandoned and replaced; only the stuck thread
+    leaks."""
     loop = asyncio.get_running_loop()
+    gen_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tts-gen")
     while not state.shutdown.is_set():
         try:
             sentence = await asyncio.wait_for(state.llm_out_q.get(), timeout=0.25)
@@ -541,7 +573,7 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                 return tts_stream_fn(sentence, speaker,
                                      list(state.context_segments))
 
-            gen = await loop.run_in_executor(executor, generate)
+            gen = await loop.run_in_executor(gen_pool, generate)
             fade_remaining = -1
             while True:
                 remaining = TTS_TIMEOUT_S - (time.monotonic() - t0)
@@ -550,9 +582,9 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                     timed_out = True
                     # no next() is in flight on this path: close directly so
                     # the half-consumed generator's state is released
-                    executor.submit(gen.close)
+                    gen_pool.submit(gen.close)
                     break
-                fut = loop.run_in_executor(executor,
+                fut = loop.run_in_executor(gen_pool,
                                            lambda: next(gen, None))
                 try:
                     # wait_for on a shield: threads can't be cancelled, but
@@ -563,10 +595,15 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                 except asyncio.TimeoutError:
                     logger.warning("TTS generation timeout for segment")
                     timed_out = True
-                    # close the generator once the stuck next() returns —
-                    # it is not safe to close while a next() is in flight
-                    fut.add_done_callback(
-                        lambda _f: executor.submit(gen.close))
+                    # Close the generator once the stuck next() returns (it
+                    # is not safe to close while a next() is in flight; the
+                    # callback runs ON the wedged thread when it unwedges).
+                    fut.add_done_callback(lambda _f, g=gen: g.close())
+                    # Abandon the wedged pool so the NEXT sentence gets a
+                    # live thread; the stuck one leaks by design.
+                    gen_pool.shutdown(wait=False)
+                    gen_pool = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="tts-gen")
                     break
                 if chunk is None:
                     break
@@ -601,7 +638,7 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
             # timeout path, where a next() is still in flight and the
             # done-callback above owns the close.
             if not timed_out:
-                await loop.run_in_executor(executor, gen.close)
+                await loop.run_in_executor(gen_pool, gen.close)
         except Exception:
             # One bad sentence (e.g. context grown past the model window)
             # must not take down the whole pipeline — log and move on.
@@ -811,7 +848,9 @@ def main() -> None:
     from csm_mlx_tpu.models.csm import CSM, csm_1b
     from csm_mlx_tpu.ops.sampling import SamplerConfig
 
-    model = CSM(csm_1b())
+    # init=False: the strict load below replaces the whole tree — skip the
+    # multi-GB random parameter draw (same as the CLI paths).
+    model = CSM(csm_1b(), init=False)
     model.load_weights(parse_weight_argument(args.model_repo))
     if args.adapter_file:
         from csm_mlx_tpu.finetune.lora import load_adapters

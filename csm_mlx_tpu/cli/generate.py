@@ -46,9 +46,14 @@ def parse_adapter_argument(value: Optional[str]) -> Optional[str]:
         from huggingface_hub import snapshot_download
 
         try:
-            return snapshot_download(value)
+            snap = Path(snapshot_download(value))
         except Exception:
-            pass
+            snap = None
+        # The repo may download fine yet not BE an adapter — check the
+        # required files here so the user gets the CLI's message, not a
+        # raw FileNotFoundError from load_adapters.
+        if snap is not None and all((snap / f).exists() for f in required):
+            return str(snap)
     raise SystemExit(
         f"Error: No required adapter files ({required}) found in {value}"
     )

@@ -173,15 +173,19 @@ def shard_params_fsdp(params: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 def _spec_fits(x, spec: P, mesh: Mesh) -> bool:
     """True iff every sharded dim of x divides the mesh axes assigned to it
-    (jax.device_put rejects uneven shards)."""
+    AND every named axis exists in the mesh — NamedSharding rejects both
+    uneven shards and mesh-absent axes (e.g. TP specs on a pure-data mesh
+    must fall back to replication, not raise)."""
     sizes = dict(mesh.shape)
     for dim, axes in enumerate(spec):
         if axes is None:
             continue
         axes = (axes,) if isinstance(axes, str) else tuple(axes)
+        if any(a not in sizes for a in axes):
+            return False
         div = 1
         for a in axes:
-            div *= sizes.get(a, 1)
+            div *= sizes[a]
         if dim >= getattr(x, "ndim", 0) or x.shape[dim] % div != 0:
             return False
     return True

@@ -228,3 +228,16 @@ def test_fsdp_train_step_matches_replicated(monkeypatch):
                       and x.ndim >= 2
                       and any(s == "data" for s in x.sharding.spec)]
     assert sharded_leaves, "no sharded optimizer-state leaves found"
+
+def test_tp_spec_on_dataonly_mesh_falls_back_to_replication():
+    """shard_params with tensor_parallel=True on a mesh WITHOUT a 'model'
+    axis must replicate (the documented indivisible/absent-axis fallback),
+    not raise NamedSharding's missing-axis error."""
+    from csm_mlx_tpu.parallel.mesh import shard_params
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
+    mesh = create_mesh({"data": 8})  # no "model" axis
+    sharded = shard_params(model.params, mesh, tensor_parallel=True)
+    spec = sharded["backbone"]["layers"][0]["self_attn"]["q_proj"][
+        "weight"].sharding.spec
+    assert all(s is None for s in spec), spec

@@ -537,3 +537,123 @@ def test_barge_in_discards_straggler_sentences():
     asyncio.run(scenario())
     assert "straggler sentence." not in spoken, spoken
     assert "next response." in spoken, spoken
+
+def test_streaming_llm_leading_eot_stops_empty_turn():
+    """A reply that BEGINS with the stop token is an empty turn: the header
+    scrubber must not delete it as scaffolding and speak run-past text."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from csm_mlx_tpu.apps.voice_chat import (ConversationState,
+                                             _stream_llm_reply)
+
+    state = ConversationState()
+
+    def chunks():
+        yield "<|eot_id|>"
+        yield " Hallucinated next turn that must never be spoken."
+
+    async def scenario():
+        loop = asyncio.get_running_loop()
+        with ThreadPoolExecutor(2) as ex:
+            return await _stream_llm_reply(state, chunks(), loop, ex)
+
+    emitted = asyncio.run(scenario())
+    assert emitted == []
+    assert state.llm_out_q.empty()
+
+
+def test_online_asr_punct_disagreement_does_not_commit():
+    """A punctuation-only token must not commit while the neighboring real
+    words still DISAGREE: its (multi-second) timestamp would advance the
+    committed frontier over unconfirmed audio and swallow the opening
+    words."""
+    h1 = [(0.0, 0.4, "hello")]
+    h2 = [(0.0, 2.0, ","), (2.0, 2.4, "goodbye")]
+    proc = OnlineASRProcessor(ScriptedHypASR([h1, h2, h2]))
+    proc.insert_audio_chunk(np.zeros(16000 * 3, dtype=np.float32))
+    assert proc.process_iter() == ""          # h1: priming
+    assert proc.process_iter() == ""          # h1 vs h2 disagree: NOTHING
+    t3 = proc.process_iter()                   # h2 vs h2: now committed
+    assert "goodbye" in t3
+
+
+def test_vad_stt_idle_mic_buffer_bounded():
+    """Hours of silent mic must not feed the STT buffer (it would grow
+    without bound); only a ~1 s pre-roll is replayed at speech onset so
+    the utterance keeps its leading context."""
+    from csm_mlx_tpu.apps.voice_chat import vad_stt_worker, ConversationState
+    from concurrent.futures import ThreadPoolExecutor
+
+    stt = ScriptedSTT("late hello.")
+    state = ConversationState()
+
+    async def scenario():
+        with ThreadPoolExecutor(2) as ex:
+            task = asyncio.create_task(vad_stt_worker(state, stt, ex))
+            # 60 blocks (~3 s worth) of pure silence
+            for _ in range(60):
+                state.audio_in_q.put_nowait(np.zeros(800, dtype=np.float32))
+            await asyncio.sleep(0.3)
+            silent_total = stt.total
+            # speech onset: pre-roll (~<=1 s) + the loud chunks arrive
+            for _ in range(25):
+                state.audio_in_q.put_nowait(
+                    np.ones(800, dtype=np.float32) * 0.2)
+            await asyncio.sleep(0.3)
+            state.shutdown.set()
+            await task
+            return silent_total
+
+    silent_total = asyncio.run(scenario())
+    assert silent_total == 0, "silent chunks reached the STT buffer"
+    # pre-roll (<= 1 s = 16000) + 25 loud chunks (20000)
+    assert 20000 <= stt.total <= 16000 + 25 * 800
+    assert stt.emitted  # speech still transcribed after the long silence
+
+
+def test_tts_timeout_does_not_starve_the_next_sentence(monkeypatch):
+    """A wedged generation (the TTS_TIMEOUT_S case) parks its thread
+    forever; the worker must replace its generation pool so the NEXT
+    sentence still speaks instead of the whole pipeline freezing."""
+    import threading
+
+    import csm_mlx_tpu.apps.voice_chat as vc
+
+    monkeypatch.setattr(vc, "TTS_TIMEOUT_S", 0.4)
+    unwedge = threading.Event()
+    calls = []
+
+    def tts_stream(text, speaker, context):
+        calls.append(text)
+        if len(calls) == 1:
+            unwedge.wait()  # wedged device call; released at teardown
+            return
+            yield  # pragma: no cover — makes this a generator
+        for _ in range(3):
+            yield np.ones(1920, dtype=np.float32) * 0.1
+
+    audio_io = NullAudioIO()
+    state = vc.ConversationState()
+
+    async def scenario():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            task = asyncio.create_task(
+                vc.tts_worker(state, tts_stream, audio_io, ex))
+            await state.llm_out_q.put("first sentence wedges.")
+            await state.llm_out_q.put("second sentence speaks.")
+            await state.llm_out_q.put(LLM_RESPONSE_END)
+            for _ in range(100):
+                if len(audio_io.played) >= 3:
+                    break
+                await asyncio.sleep(0.1)
+            state.shutdown.set()
+            await task
+
+    try:
+        asyncio.run(scenario())
+    finally:
+        unwedge.set()  # release the parked thread so pytest can exit
+    assert calls == ["first sentence wedges.", "second sentence speaks."]
+    assert len(audio_io.played) >= 3, "second sentence never played"
