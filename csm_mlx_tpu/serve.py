@@ -422,8 +422,9 @@ class ContinuousTTSServer:
         max_pending: Optional[int] = None,
     ):
         from csm_mlx_tpu.continuous import ContinuousEngine
+        from csm_mlx_tpu.generation import FRAME_MS
 
-        max_frames = int(max_audio_length_ms / 80.0)
+        max_frames = int(max_audio_length_ms / FRAME_MS)
         self.model = model
         self.max_audio_length_ms = max_audio_length_ms
         self.watermark_key = watermark_key
@@ -432,6 +433,12 @@ class ContinuousTTSServer:
             model, n_slots=n_slots, max_frames=max_frames,
             max_prompt_bucket=max_prompt_bucket, temperature=temperature,
             sampler=sampler, codec=True)
+        if getattr(self.engine, "_mimi", None) is None:
+            # A codec-less engine completes every request "successfully"
+            # with zero-length audio — fail construction loudly instead.
+            raise ValueError(
+                "ContinuousTTSServer needs an engine running with a codec "
+                "(ContinuousEngine(..., codec=True))")
         self.stats = ServerStats()
         self._started = False
 
@@ -461,27 +468,39 @@ class ContinuousTTSServer:
         res = self.engine.submit(text, speaker, tuple(context))
         fut: asyncio.Future = loop.create_future()
 
-        def collect() -> None:
-            # Dedicated waiter thread (not the shared executor): hundreds of
-            # concurrent requests must not exhaust the default thread pool.
-            # Watermarking (a whole-utterance STFT) also runs here — tens of
-            # ms per request must not stall the event loop.
+        def finalize() -> np.ndarray:
+            # Runs on the (bounded) default executor AFTER completion: the
+            # chunk drain is non-blocking by then, and watermarking (a
+            # whole-utterance STFT, tens of ms) must not stall the event
+            # loop. No thread ever parks on an unfinished request — done
+            # callbacks replaced the old thread-per-request waiters.
+            audio = res.audio()
+            if self.watermark_key is not None:
+                from csm_mlx_tpu.watermark import embed_watermark
+
+                audio = np.asarray(embed_watermark(audio, self.watermark_key))
+            return audio
+
+        def schedule() -> None:
+            if fut.done():
+                return
+            t = loop.run_in_executor(None, finalize)
+
+            def copy(f) -> None:
+                if fut.done():
+                    return
+                exc = f.exception()
+                fut.set_exception(exc) if exc else fut.set_result(f.result())
+
+            t.add_done_callback(copy)
+
+        def on_done() -> None:
             try:
-                res.done.wait()
-                audio = res.audio()
-                if self.watermark_key is not None:
-                    from csm_mlx_tpu.watermark import embed_watermark
+                loop.call_soon_threadsafe(schedule)
+            except RuntimeError:
+                pass  # loop closed: the awaiting task is gone anyway
 
-                    audio = np.asarray(embed_watermark(
-                        audio, self.watermark_key))
-            except BaseException as exc:
-                loop.call_soon_threadsafe(
-                    lambda: fut.done() or fut.set_exception(exc))
-            else:
-                loop.call_soon_threadsafe(
-                    lambda: fut.done() or fut.set_result(audio))
-
-        threading.Thread(target=collect, daemon=True).start()
+        res.add_done_callback(on_done)
         try:
             audio = await fut
         except BaseException:
@@ -512,16 +531,18 @@ class ContinuousTTSServer:
         q: asyncio.Queue = asyncio.Queue()
         done = object()
 
-        def pump() -> None:
+        def deliver(chunk) -> None:
+            # Engine-thread chunk callback (replaces the old pump thread —
+            # no per-stream OS thread). None is the end sentinel; the error,
+            # if any, is latched on res before the sentinel is delivered.
+            if chunk is None:
+                chunk = res.error if res.error is not None else done
             try:
-                for chunk in res.chunks():
-                    loop.call_soon_threadsafe(q.put_nowait, chunk)
-            except Exception as exc:
-                loop.call_soon_threadsafe(q.put_nowait, exc)
-            else:
-                loop.call_soon_threadsafe(q.put_nowait, done)
+                loop.call_soon_threadsafe(q.put_nowait, chunk)
+            except RuntimeError:
+                pass  # loop closed mid-stream (client gone)
 
-        threading.Thread(target=pump, daemon=True).start()
+        res.set_chunk_callback(deliver)
         t0 = time.monotonic()
         n_samples = 0
         try:
@@ -556,6 +577,20 @@ def wav_bytes(audio: np.ndarray, sample_rate: int = SAMPLING_RATE) -> bytes:
     return buf.getvalue()
 
 
+class _HttpError(Exception):
+    """Client-input error carrying the HTTP status to answer with."""
+
+    def __init__(self, status: str, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+# Request bodies are tiny JSON; anything beyond this is abuse. The cap is
+# enforced BEFORE buffering (readexactly would happily hold gigabytes in
+# RAM from a single connection otherwise).
+MAX_BODY_BYTES = 1 << 20
+
+
 async def _read_http_request(reader: asyncio.StreamReader):
     request_line = await reader.readline()
     if not request_line:
@@ -571,9 +606,34 @@ async def _read_http_request(reader: asyncio.StreamReader):
             break
         name, _, value = line.decode("latin-1").partition(":")
         if name.strip().lower() == "content-length":
-            content_length = int(value.strip())
+            try:
+                content_length = int(value.strip())
+            except ValueError:
+                raise _HttpError("400 Bad Request",
+                                 "malformed Content-Length")
+    if content_length < 0:
+        raise _HttpError("400 Bad Request", "malformed Content-Length")
+    if content_length > MAX_BODY_BYTES:
+        raise _HttpError("413 Payload Too Large",
+                         f"body exceeds {MAX_BODY_BYTES} bytes")
     body = await reader.readexactly(content_length) if content_length else b""
     return method, path, body
+
+
+def _parse_tts_body(body: bytes):
+    """(text, speaker) from a request body; client errors -> 400."""
+    try:
+        req = json.loads(body or b"{}")
+        text = req["text"]
+        speaker = int(req.get("speaker", 0))
+    except (ValueError, KeyError, TypeError):
+        raise _HttpError(
+            "400 Bad Request",
+            'body must be JSON with a "text" field (and optional '
+            'integer "speaker")')
+    if not isinstance(text, str):
+        raise _HttpError("400 Bad Request", '"text" must be a string')
+    return text, speaker
 
 
 def _http_response(status: str, content_type: str, body: bytes) -> bytes:
@@ -614,78 +674,70 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                 payload = json.dumps(stats).encode()
                 writer.write(_http_response("200 OK", "application/json", payload))
             elif method == "POST" and path == "/tts-stream":
+                text, speaker = _parse_tts_body(body)
+                # Raw 24 kHz s16le PCM over chunked transfer encoding:
+                # one HTTP chunk per 80 ms generation chunk. The 200
+                # header is deferred until the FIRST chunk arrives so
+                # pre-stream failures (overload, generation errors) can
+                # still answer with a real status code instead of a
+                # truncated chunked body.
+                gen = server.synthesize_stream(text, speaker)
+                first = None
+                overloaded: Optional[ServerOverloaded] = None
                 try:
-                    req = json.loads(body or b"{}")
-                    text = req["text"]
-                except (ValueError, KeyError, TypeError):
+                    first = await gen.__anext__()
+                except StopAsyncIteration:
+                    pass  # empty stream: still a valid 200
+                except ServerOverloaded as exc:
+                    overloaded = exc
+                if overloaded is not None:
                     writer.write(_http_response(
-                        "400 Bad Request", "application/json",
-                        b'{"error": "body must be JSON with a \\"text\\" field"}'))
+                        "503 Service Unavailable", "application/json",
+                        json.dumps({"error": str(overloaded)}).encode()))
                 else:
-                    # Raw 24 kHz s16le PCM over chunked transfer encoding:
-                    # one HTTP chunk per 80 ms generation chunk. The 200
-                    # header is deferred until the FIRST chunk arrives so
-                    # pre-stream failures (overload, generation errors) can
-                    # still answer with a real status code instead of a
-                    # truncated chunked body.
-                    gen = server.synthesize_stream(
-                        text, int(req.get("speaker", 0)))
-                    first = None
-                    overloaded: Optional[ServerOverloaded] = None
-                    try:
-                        first = await gen.__anext__()
-                    except StopAsyncIteration:
-                        pass  # empty stream: still a valid 200
-                    except ServerOverloaded as exc:
-                        overloaded = exc
-                    if overloaded is not None:
-                        writer.write(_http_response(
-                            "503 Service Unavailable", "application/json",
-                            json.dumps({"error": str(overloaded)}).encode()))
-                    else:
-                        writer.write(
-                            b"HTTP/1.1 200 OK\r\n"
-                            b"Content-Type: audio/L16; rate=24000\r\n"
-                            b"Transfer-Encoding: chunked\r\n"
-                            b"Connection: close\r\n\r\n")
-                        streamed = True
+                    writer.write(
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: audio/L16; rate=24000\r\n"
+                        b"Transfer-Encoding: chunked\r\n"
+                        b"Connection: close\r\n\r\n")
+                    streamed = True
 
-                        async def _rest():
-                            if first is not None:
-                                yield first
-                            async for c in gen:
-                                yield c
+                    async def _rest():
+                        if first is not None:
+                            yield first
+                        async for c in gen:
+                            yield c
 
-                        async for chunk in _rest():
-                            pcm = (np.clip(chunk, -1.0, 1.0)
-                                   * 32767.0).astype("<i2").tobytes()
-                            writer.write(f"{len(pcm):x}\r\n".encode())
-                            writer.write(pcm + b"\r\n")
-                            await writer.drain()
-                        writer.write(b"0\r\n\r\n")
+                    async for chunk in _rest():
+                        pcm = (np.clip(chunk, -1.0, 1.0)
+                               * 32767.0).astype("<i2").tobytes()
+                        writer.write(f"{len(pcm):x}\r\n".encode())
+                        writer.write(pcm + b"\r\n")
+                        await writer.drain()
+                    writer.write(b"0\r\n\r\n")
             elif method == "POST" and path == "/tts":
+                text, speaker = _parse_tts_body(body)
                 try:
-                    req = json.loads(body or b"{}")
-                    text = req["text"]
-                except (ValueError, KeyError, TypeError):
+                    audio = await server.synthesize(text, speaker)
+                except ServerOverloaded as exc:
                     writer.write(_http_response(
-                        "400 Bad Request", "application/json",
-                        b'{"error": "body must be JSON with a \\"text\\" field"}'))
+                        "503 Service Unavailable", "application/json",
+                        json.dumps({"error": str(exc)}).encode()))
                 else:
-                    try:
-                        audio = await server.synthesize(
-                            text, int(req.get("speaker", 0)))
-                    except ServerOverloaded as exc:
-                        writer.write(_http_response(
-                            "503 Service Unavailable", "application/json",
-                            json.dumps({"error": str(exc)}).encode()))
-                    else:
-                        writer.write(_http_response("200 OK", "audio/wav",
-                                                    wav_bytes(audio)))
+                    writer.write(_http_response("200 OK", "audio/wav",
+                                                wav_bytes(audio)))
             else:
                 writer.write(_http_response("404 Not Found", "text/plain",
                                             b"not found"))
             await writer.drain()
+        except _HttpError as exc:
+            try:
+                writer.write(_http_response(
+                    exc.status, "application/json",
+                    json.dumps({"error": str(exc)}).encode()))
+                await writer.drain()
+            except Exception:
+                pass
         except Exception as exc:
             try:
                 if streamed:

@@ -522,3 +522,66 @@ def test_http_stream_prestream_error_returns_500(model):
 
     raw = asyncio.run(main())
     assert raw.startswith(b"HTTP/1.1 500")
+
+def test_http_client_errors_get_4xx_not_500(offline_tokenizers, model):
+    """Client-input mistakes must map to 4xx: non-integer speaker,
+    non-string text, oversized and malformed Content-Length — none of
+    these are server errors."""
+    async def main():
+        from csm_mlx_tpu.serve import serve_http
+
+        server = TTSServer(model, max_batch=2, max_wait_ms=50,
+                           max_audio_length_ms=400, temperature=0.0)
+        http = await serve_http(server, host="127.0.0.1", port=0)
+        port = http.sockets[0].getsockname()[1]
+
+        async def raw(request: bytes) -> bytes:
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(request)
+            await writer.drain()
+            data = await reader.read()
+            writer.close()
+            return data
+
+        def post(path, payload) -> bytes:
+            body = json.dumps(payload).encode()
+            return (f"POST {path} HTTP/1.1\r\nHost: x\r\nContent-Length: "
+                    f"{len(body)}\r\n\r\n".encode() + body)
+
+        bad_speaker = await raw(post("/tts", {"text": "hi", "speaker": "loud"}))
+        bad_text = await raw(post("/tts", {"text": 123}))
+        bad_stream = await raw(post("/tts-stream", {"text": "x",
+                                                    "speaker": [1]}))
+        huge = await raw(b"POST /tts HTTP/1.1\r\nHost: x\r\n"
+                         b"Content-Length: 10000000000\r\n\r\n")
+        negative = await raw(b"POST /tts HTTP/1.1\r\nHost: x\r\n"
+                             b"Content-Length: -5\r\n\r\n")
+        garbled = await raw(b"POST /tts HTTP/1.1\r\nHost: x\r\n"
+                            b"Content-Length: banana\r\n\r\n")
+        ok = await raw(post("/tts", {"text": "hi", "speaker": 1}))
+        http.close()
+        await http.wait_closed()
+        await server.stop()
+        return bad_speaker, bad_text, bad_stream, huge, negative, garbled, ok
+
+    (bad_speaker, bad_text, bad_stream, huge, negative, garbled,
+     ok) = asyncio.run(main())
+    for resp in (bad_speaker, bad_text, bad_stream):
+        assert resp.startswith(b"HTTP/1.1 400"), resp[:60]
+    assert huge.startswith(b"HTTP/1.1 413"), huge[:60]
+    assert negative.startswith(b"HTTP/1.1 400"), negative[:60]
+    assert garbled.startswith(b"HTTP/1.1 400"), garbled[:60]
+    assert ok.startswith(b"HTTP/1.1 200"), ok[:60]
+
+
+def test_continuous_server_rejects_codecless_engine(model):
+    """An injected engine without a codec would serve empty audio with
+    status 200 forever — construction must fail loudly."""
+    from csm_mlx_tpu.continuous import ContinuousEngine
+    from csm_mlx_tpu.serve import ContinuousTTSServer
+
+    eng = ContinuousEngine(model, n_slots=2, max_frames=4,
+                           max_prompt_bucket=32, capacity_slack=8,
+                           codec=False)
+    with pytest.raises(ValueError, match="codec"):
+        ContinuousTTSServer(model, engine=eng)
