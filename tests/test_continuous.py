@@ -295,3 +295,49 @@ def test_codec_continuity_on_recycled_row(model, monkeypatch):
         scale = max(np.abs(ref).max(), 1e-3)
         np.testing.assert_allclose(audio, ref, atol=2e-3 * scale)
     tok_mod.get_audio_tokenizer.cache_clear()
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_random_admissions_and_cancels_match_solo(model, seed):
+    """Seeded stress run: random prompt lengths, admission times, frame
+    caps, and mid-flight cancels — every COMPLETED stream must still match
+    its solo generate_tokens run token-for-token (the engine's core
+    exactness claim under schedules no structured test enumerates)."""
+    rng = np.random.RandomState(100 + seed)
+    eng = _engine(model, n_slots=3, max_frames=10, capacity_slack=16,
+                  pipeline_depth=2)
+    reqs = []
+    n_requests = 8
+    submitted = 0
+    step_budget = 400
+    while (submitted < n_requests or eng._active() or eng._flushing()
+           or not eng._queue.empty()) and step_budget > 0:
+        step_budget -= 1
+        if submitted < n_requests and rng.rand() < 0.5:
+            s = int(rng.randint(3, 12))
+            mf = int(rng.randint(1, 10))
+            p, m = _prompt(model.args, s, seed=1000 + submitted + 31 * seed)
+            res = eng.submit_prompt(p, m, max_frames=mf)
+            reqs.append((res, p, m, mf))
+            submitted += 1
+            if rng.rand() < 0.2:
+                res.cancel()  # sometimes before it is even admitted
+        if not eng._drive_once() and eng._queue.empty() \
+                and submitted >= n_requests:
+            break
+        # random mid-flight cancel of a live request
+        if rng.rand() < 0.15 and reqs:
+            reqs[int(rng.randint(len(reqs)))][0].cancel()
+    eng.run_until_idle()
+    assert step_budget > 0, "engine failed to drain within the step budget"
+    completed = 0
+    for res, p, m, mf in reqs:
+        got = res.wait(0)
+        if res.finish_reason == "cancel":
+            # tokens up to the cancel point must be an exact solo prefix
+            np.testing.assert_array_equal(
+                got, _solo(model, p, m, mf)[:got.shape[0]])
+            continue
+        completed += 1
+        np.testing.assert_array_equal(got, _solo(model, p, m, mf))
+    assert completed >= 1  # the schedule must exercise real completions

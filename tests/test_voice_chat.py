@@ -657,3 +657,64 @@ def test_tts_timeout_does_not_starve_the_next_sentence(monkeypatch):
         unwedge.set()  # release the parked thread so pytest can exit
     assert calls == ["first sentence wedges.", "second sentence speaks."]
     assert len(audio_io.played) >= 3, "second sentence never played"
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_online_asr_fuzz_unstable_tail_never_commits(seed):
+    """Randomized LocalAgreement stress: the hypothesis tail is corrupted
+    differently on every pass (whisper-style instability). Committed text
+    must (a) never contain a corrupted word, (b) never revise — each
+    process_iter only APPENDS, and (c) end up exactly the ground-truth
+    word sequence once the tail stabilizes."""
+    from csm_mlx_tpu.apps.stt import AsrWord
+
+    rng = np.random.RandomState(200 + seed)
+    RATE = 16000
+    WORD_S = 0.4
+    truth = [f"word{i}" for i in range(14)]
+    corrupt = {"on": True}
+    passes = {"n": 0}
+
+    class UnstableASR:
+        def transcribe(self, audio, init_prompt=""):
+            passes["n"] += 1
+            offset = proc.buffer_time_offset
+            span = len(audio) / RATE
+            words = []
+            for i, w in enumerate(truth):
+                s, e = i * WORD_S, (i + 1) * WORD_S
+                if s >= offset - 1e-6 and e <= offset + span + 1e-6:
+                    words.append([s - offset, e - offset, w])
+            if corrupt["on"] and words:
+                # corrupt the last 0-2 visible words, uniquely per pass so
+                # no two consecutive hypotheses ever agree on a bad word
+                for j in range(int(rng.randint(0, 3))):
+                    if j < len(words):
+                        words[-1 - j][2] = f"bad{passes['n']}_{j}"
+            if not words:
+                return []
+            return [AsrSegment(words[0][0], words[-1][1],
+                               " ".join(w for _, _, w in words),
+                               words=[AsrWord(s, e, w) for s, e, w in words])]
+
+    proc = OnlineASRProcessor(UnstableASR(), buffer_trimming_sec=3.0)
+    committed_stream = []
+    for i in range(len(truth)):
+        proc.insert_audio_chunk(np.zeros(int(RATE * WORD_S), np.float32))
+        out = proc.process_iter()
+        if out:
+            committed_stream.extend(out.split())
+    corrupt["on"] = False  # tail stabilizes
+    for _ in range(3):
+        out = proc.process_iter()
+        if out:
+            committed_stream.extend(out.split())
+    final = proc.finish()
+    if final:
+        committed_stream.extend(final.split())
+
+    assert not any(w.startswith("bad") for w in committed_stream), \
+        committed_stream
+    assert committed_stream == truth, committed_stream
+    # the committed record itself is append-only ground truth too
+    record = [w for _, _, w in proc.committed]
+    assert record == truth
