@@ -219,21 +219,20 @@ class OnlineASRProcessor:
         # word) of the previous and current hypotheses. Punctuation-only
         # tokens (empty after normalization) consume only the *current*
         # position — pairing them against a previous word would shift the
-        # comparison — and LEADING punctuation is held back until a real
-        # word actually agrees: committing it eagerly would advance the
-        # committed frontier over unconfirmed audio (its timestamp can span
-        # seconds) and permanently swallow the utterance's opening words.
+        # comparison — and EVERY punctuation token is held back until a
+        # following real word actually agrees: committing one eagerly would
+        # advance the committed frontier by its timestamp (which can span
+        # seconds of not-yet-stable audio, leading OR interior) and
+        # permanently swallow words whisper later recognizes there.
+        # Trailing punctuation reaches the transcript on a later pass or at
+        # finish().
         agreed: List[AsrWord] = []
-        pending: List[AsrWord] = []  # leading punct awaiting agreement
+        pending: List[AsrWord] = []  # punct awaiting a confirmed neighbor
         commit_ci = 0  # hyp index just past the last committed token
         pi = ci = 0
         while ci < len(hyp):
             if _norm(hyp[ci].word) == "":
-                if agreed:
-                    agreed.append(hyp[ci])
-                    commit_ci = ci + 1
-                else:
-                    pending.append(hyp[ci])
+                pending.append(hyp[ci])
                 ci += 1
                 continue
             if pi >= len(self._prev_hyp):

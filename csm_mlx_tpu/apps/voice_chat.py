@@ -580,9 +580,14 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                 if remaining <= 0:
                     logger.warning("TTS generation timeout for segment")
                     timed_out = True
-                    # no next() is in flight on this path: close directly so
-                    # the half-consumed generator's state is released
+                    # No next() is in flight on this path, but close itself
+                    # can block on a degraded device: run it on the OLD pool
+                    # and hand the next sentence a fresh one, exactly like
+                    # the wedged-next() branch below.
                     gen_pool.submit(gen.close)
+                    gen_pool.shutdown(wait=False)
+                    gen_pool = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="tts-gen")
                     break
                 fut = loop.run_in_executor(gen_pool,
                                            lambda: next(gen, None))
@@ -595,10 +600,16 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                 except asyncio.TimeoutError:
                     logger.warning("TTS generation timeout for segment")
                     timed_out = True
-                    # Close the generator once the stuck next() returns (it
-                    # is not safe to close while a next() is in flight; the
-                    # callback runs ON the wedged thread when it unwedges).
-                    fut.add_done_callback(lambda _f, g=gen: g.close())
+                    # Close the generator once the stuck next() returns —
+                    # not safe while a next() is in flight. The asyncio
+                    # done-callback runs on the EVENT LOOP thread, and
+                    # close() may block on the same degraded device, so
+                    # hand it to a throwaway daemon thread (rare path).
+                    import threading as _threading
+
+                    fut.add_done_callback(
+                        lambda _f, g=gen: _threading.Thread(
+                            target=g.close, daemon=True).start())
                     # Abandon the wedged pool so the NEXT sentence gets a
                     # live thread; the stuck one leaks by design.
                     gen_pool.shutdown(wait=False)

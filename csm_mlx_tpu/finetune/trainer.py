@@ -697,7 +697,10 @@ class KTOTrainer(CSMTrainer):
         # The frozen reference's params enter _loss_fn as jit constants, so
         # they must carry the same placement as the policy params: under
         # FSDP an unsharded copy would otherwise replicate onto every chip
-        # and claw back most of ZeRO-3's memory saving.
+        # and claw back most of ZeRO-3's memory saving. NOTE: like the
+        # policy model, the caller's CSM object is re-placed IN PLACE (the
+        # trainer owns both models for its lifetime — same convention as
+        # CSMTrainer.__init__ sharding self.model.params).
         if args.mesh is not None:
             if args.param_sharding == "fsdp":
                 from csm_mlx_tpu.parallel.mesh import shard_params_fsdp

@@ -142,6 +142,23 @@ def load_csm_weights(
 
 def _merge(dst: Any, src: Any) -> Any:
     if isinstance(src, dict) and isinstance(dst, dict):
+        # Evict representations the checkpoint SUPERSEDES, not just merge
+        # keys: ops.layers.linear prefers `weight_q` and _attn_layer prefers
+        # `qkv_proj`, so a new dense/unfused weight merged NEXT TO a stale
+        # quantized/fused sibling would be silently ignored — the loaded
+        # fine-tune would not actually serve. (Same staleness class as the
+        # top-level "_" caches dropped in load_csm_weights.)
+        if "weight" in src and "weight_q" not in src:
+            for k in ("weight_q", "scales", "biases"):
+                dst.pop(k, None)
+        if "weight_q" in src and "weight" not in src:
+            dst.pop("weight", None)
+        if any(k in src for k in ("q_proj", "k_proj", "v_proj")) \
+                and "qkv_proj" not in src:
+            dst.pop("qkv_proj", None)
+        if any(k in src for k in ("gate_proj", "up_proj")) \
+                and "gateup_proj" not in src:
+            dst.pop("gateup_proj", None)
         for k, v in src.items():
             if k in dst:
                 dst[k] = _merge(dst[k], v)

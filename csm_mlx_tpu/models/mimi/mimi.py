@@ -222,6 +222,15 @@ class Mimi:
         self._encode_step_jit = None
 
     # -- batch ----------------------------------------------------------
+    def _resolve_nq(self, num_quantizers) -> int:
+        nq = (self.cfg.num_quantizers if num_quantizers is None
+              else num_quantizers)
+        if not 1 <= nq <= self.cfg.num_quantizers:
+            raise ValueError(
+                f"num_quantizers={nq} out of range [1, "
+                f"{self.cfg.num_quantizers}]")
+        return nq
+
     def _make_encode(self, nq: int):
         return jax.jit(
             lambda p, x: mimi_encode_fn(p, self.cfg, x, nq)
@@ -229,12 +238,7 @@ class Mimi:
 
     def encode(self, audio, num_quantizers: Optional[int] = None) -> jax.Array:
         """(B, 1, T) waveform -> (B, K, F) codes. T padded to whole frames."""
-        nq = (self.cfg.num_quantizers if num_quantizers is None
-              else num_quantizers)
-        if not 1 <= nq <= self.cfg.num_quantizers:
-            raise ValueError(
-                f"num_quantizers={nq} out of range [1, "
-                f"{self.cfg.num_quantizers}]")
+        nq = self._resolve_nq(num_quantizers)
         audio = jnp.asarray(audio, dtype=jnp.float32)
         t = audio.shape[-1]
         frames = -(-t // self.frame_size)
@@ -312,12 +316,7 @@ class Mimi:
         """(B, 1, frame_size) audio -> ((B, K, 1) codes, state').
 
         `state=None` uses the internal stream state (see decode_step)."""
-        nq = (self.cfg.num_quantizers if num_quantizers is None
-              else num_quantizers)
-        if not 1 <= nq <= self.cfg.num_quantizers:
-            raise ValueError(
-                f"num_quantizers={nq} out of range [1, "
-                f"{self.cfg.num_quantizers}]")
+        nq = self._resolve_nq(num_quantizers)
         stateful = state is None
         if stateful:
             if getattr(self, "_stream_encode_state", None) is None:

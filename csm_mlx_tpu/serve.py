@@ -254,7 +254,7 @@ class TTSServer:
                 item = await q.get()
                 if item is done:
                     break
-                if isinstance(item, Exception):
+                if isinstance(item, BaseException):
                     await fut
                     raise item
                 n_samples += item.shape[-1]
@@ -550,7 +550,8 @@ class ContinuousTTSServer:
                 item = await q.get()
                 if item is done:
                     break
-                if isinstance(item, Exception):
+                if isinstance(item, BaseException):
+                    # engine drive-loop errors are latched as BaseException
                     raise item
                 n_samples += item.shape[-1]
                 yield item

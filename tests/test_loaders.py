@@ -67,3 +67,50 @@ def test_generate_tokens_batch(tiny_model):
                                    temperature=0.0)
     # bucket differs only if lengths bucket differently; here both <= 32.
     np.testing.assert_array_equal(f1[: n1[0], 0], frames[: n[0], 0])
+
+def test_nonstrict_load_evicts_superseded_representations(tmp_path):
+    """A dense/unfused checkpoint loaded over a quantized+fused model must
+    EVICT the stale weight_q/qkv_proj siblings: ops.layers.linear prefers
+    weight_q and the attention layer prefers qkv_proj, so merely merging
+    the new keys in would leave the fine-tune silently unserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import tiny_args
+    from csm_mlx_tpu.loaders import save_csm_weights
+    from csm_mlx_tpu.models.csm import CSM
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(0))
+    fresh = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(1))
+    quantize_model(model, mode="w8a8", min_size=1,
+                   targets=("decoder", "projection"), fuse=True)
+    dec0 = model.params["decoder"]["layers"][0]
+    assert "qkv_proj" in dec0["self_attn"]
+    assert "weight_q" in model.params["projection"]
+
+    # dense, unfused checkpoint: projection + one decoder layer's q/k/v
+    ckpt = {
+        "projection": {"weight": fresh.params["projection"]["weight"]},
+        "decoder": {"layers": [
+            {"self_attn": {
+                k: {"weight": fresh.params["decoder"]["layers"][0][
+                    "self_attn"][k]["weight"]}
+                for k in ("q_proj", "k_proj", "v_proj")
+            }}
+        ]},
+    }
+    path = str(tmp_path / "dense.safetensors")
+    save_csm_weights(path, ckpt)
+    model.load_weights(path, strict=False)
+
+    proj = model.params["projection"]
+    assert "weight" in proj and "weight_q" not in proj
+    at = model.params["decoder"]["layers"][0]["self_attn"]
+    assert "q_proj" in at and "qkv_proj" not in at
+    np.testing.assert_array_equal(
+        np.asarray(proj["weight"]),
+        np.asarray(fresh.params["projection"]["weight"]))
+    # untouched layers keep their quantized/fused form
+    at1 = model.params["decoder"]["layers"][1]["self_attn"]
+    assert "qkv_proj" in at1

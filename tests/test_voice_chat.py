@@ -718,3 +718,20 @@ def test_online_asr_fuzz_unstable_tail_never_commits(seed):
     # the committed record itself is append-only ground truth too
     record = [w for _, _, w in proc.committed]
     assert record == truth
+
+def test_online_asr_interior_punct_disagreement_does_not_commit():
+    """Punctuation AFTER an agreed word must still wait for the next real
+    word to agree: a multi-second ',' committed eagerly would trim the
+    buffer over audio the next pass revises."""
+    h1 = [(0.0, 0.4, "hello"), (0.4, 0.8, "goodbye")]
+    h2 = [(0.0, 0.4, "hello"), (0.4, 3.0, ","), (3.0, 3.4, "world")]
+    h3 = h2
+    proc = OnlineASRProcessor(ScriptedHypASR([h1, h2, h3]))
+    proc.insert_audio_chunk(np.zeros(16000 * 4, dtype=np.float32))
+    assert proc.process_iter() == ""          # priming
+    t2 = proc.process_iter()                   # h1 vs h2: only "hello"
+    assert t2 == "hello"
+    # the ',' (end 3.0) must NOT have advanced the committed frontier
+    assert proc.committed[-1][1] == pytest.approx(0.4)
+    t3 = proc.process_iter()                   # h2 vs h3: ','+"world" land
+    assert "world" in t3
