@@ -520,9 +520,7 @@ def _resolve_sampler(
 ) -> SamplerConfig:
     if sampler is None:
         return SamplerConfig(temperature=temperature)
-    if isinstance(sampler, SamplerConfig):
-        return sampler
-    return sampler  # user-provided jittable callable (must be hashable)
+    return sampler  # SamplerConfig, or a jittable callable (must be hashable)
 
 
 def _place_inputs(mesh, tokens, mask, pad_len, key):
@@ -864,6 +862,15 @@ def generate_long(
     max_seg_frames = int(max_segment_audio_ms / FRAME_MS)
     ctx_cfg = model.args.backbone_config.max_position_embeddings or 2048
     budget = ctx_cfg - max_seg_frames
+    if budget <= 1:
+        # Without this, fit_sentence/hard_split degenerate to exploding the
+        # text into single characters (their >=1-char termination floor)
+        # before generate() fails with a baffling "must be below <negative>".
+        raise ValueError(
+            f"max_segment_audio_ms={max_segment_audio_ms} "
+            f"({max_seg_frames} frames) does not fit the backbone context "
+            f"window ({ctx_cfg} positions) with room for any text; use a "
+            f"smaller segment budget")
 
     def fit_sentence(sentence: str) -> List[str]:
         """Split a single sentence that alone exceeds the token budget

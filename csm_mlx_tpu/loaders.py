@@ -43,9 +43,13 @@ def _load_flat(path: str) -> Dict[str, np.ndarray]:
         # bf16 tensors need the torch reader; for anything else (corrupt
         # file, wrong format) re-raise the ORIGINAL numpy-reader error.
         try:
+            import torch
             from safetensors.torch import load_file as load_torch
 
-            return {k: v.float().numpy()
+            # Widen ONLY bf16 (numpy has no bf16 dtype); int8 quant codes
+            # and f32 scales must keep their exact dtype through this path.
+            return {k: (v.float().numpy() if v.dtype == torch.bfloat16
+                        else v.numpy())
                     for k, v in load_torch(path).items()}
         except Exception:
             raise numpy_err
@@ -118,9 +122,7 @@ def load_csm_weights(
     flat = {k: v for k, v in flat.items()
             if ".rope." not in k and not k.endswith("._cache")
             and not k.endswith("._theta")}
-    tree = flat_to_tree(
-        {k: jnp.asarray(v, dtype=dtype) for k, v in flat.items()}
-    )
+    tree = flat_to_tree({k: _cast_leaf(k, v, dtype) for k, v in flat.items()})
     if strict:
         required = ("backbone", "decoder", "text_embeddings", "audio_embeddings",
                     "projection", "codebook0_head", "audio_head")
@@ -128,7 +130,10 @@ def load_csm_weights(
         if missing:
             raise ValueError(f"Checkpoint {path} missing components: {missing}")
         return tree
-    merged = dict(existing or {})
+    # Copy the dict/list spine before merging (arrays are shared): _merge
+    # writes into and evicts from nested dicts, and doing that to the
+    # caller's live tree would corrupt stashed copies / models sharing it.
+    merged = _copy_spine(existing or {})
     _merge(merged, tree)
     # Derived "_"-prefixed caches (e.g. the "_resident" frame-kernel tables)
     # snapshot the weights they were built from; a partial load would leave
@@ -138,6 +143,34 @@ def load_csm_weights(
     for k in [k for k in merged if isinstance(k, str) and k.startswith("_")]:
         del merged[k]
     return merged
+
+
+def _cast_leaf(key: str, v: Any, dtype) -> jnp.ndarray:
+    """Cast a checkpoint tensor to the model dtype — floats only.
+
+    Integer leaves (int8/uint8/int4 quantized codes) and the f32 `scales`/
+    `biases` that calibrate them must keep their exact dtype: casting codes
+    to bf16 silently disables the W8A8 MXU kernel and the resident decoder
+    (both dispatch on `weight_q.dtype`), and bf16 scales degrade every
+    dequantized weight."""
+    arr = jnp.asarray(v)
+    if not jnp.issubdtype(arr.dtype, jnp.floating):
+        return arr
+    if key.rsplit(".", 1)[-1] in ("scales", "biases"):
+        return arr
+    return arr.astype(dtype)
+
+
+def _copy_spine(tree: Any) -> Any:
+    if isinstance(tree, dict):
+        return {k: _copy_spine(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_copy_spine(v) for v in tree]
+    return tree
+
+
+_FUSED_GROUPS = (("qkv_proj", ("q_proj", "k_proj", "v_proj")),
+                 ("gateup_proj", ("gate_proj", "up_proj")))
 
 
 def _merge(dst: Any, src: Any) -> Any:
@@ -153,12 +186,30 @@ def _merge(dst: Any, src: Any) -> Any:
                 dst.pop(k, None)
         if "weight_q" in src and "weight" not in src:
             dst.pop("weight", None)
-        if any(k in src for k in ("q_proj", "k_proj", "v_proj")) \
-                and "qkv_proj" not in src:
-            dst.pop("qkv_proj", None)
-        if any(k in src for k in ("gate_proj", "up_proj")) \
-                and "gateup_proj" not in src:
-            dst.pop("gateup_proj", None)
+        for fused, parts in _FUSED_GROUPS:
+            if fused not in dst or fused in src:
+                continue
+            named = [p for p in parts if p in src]
+            if not named:
+                continue
+            # Evicting the fused weight is only safe when the checkpoint
+            # replaces EVERY constituent's base weight — the fused array is
+            # the model's ONLY copy of the others. A partial update (subset
+            # fine-tune, or an adapter-only q_proj dict) can never serve
+            # against a fused model (the forward path reads `fused` and
+            # would silently ignore it), so fail loudly instead.
+            full = all(isinstance(src.get(p), dict)
+                       and ("weight" in src[p] or "weight_q" in src[p])
+                       for p in parts)
+            if full:
+                dst.pop(fused)
+            else:
+                raise ValueError(
+                    f"checkpoint updates {named} but the model's weights are "
+                    f"fused into {fused!r}, which holds the only copy of the "
+                    f"other projections; the update cannot take effect. Load "
+                    f"the checkpoint before quantize/fuse, or save one "
+                    f"carrying base weights for all of {list(parts)}.")
         for k, v in src.items():
             if k in dst:
                 dst[k] = _merge(dst[k], v)
@@ -193,10 +244,23 @@ def save_csm_weights(path: str, params: Dict[str, Any]) -> None:
 
 def resolve_weight_path(model_or_path: str, filename: Optional[str] = None) -> str:
     """Local path, or HF repo id trying the reference's candidate filenames
-    (cli/generate.py:19-49)."""
+    (cli/generate.py:19-49).
+
+    An EXPLICIT `filename` that is absent raises rather than falling back
+    to the default candidates: silently serving `mlx-ckpt.safetensors`
+    when the caller asked for e.g. `step_500/latest.safetensors` would load
+    the base model in place of the fine-tune (the reference likewise raises
+    on a missing explicit path, cli/generate.py:33-36)."""
     if os.path.exists(model_or_path):
         if os.path.isdir(model_or_path):
-            for cand in ((filename,) if filename else ()) + WEIGHT_FILE_CANDIDATES:
+            if filename:
+                p = os.path.join(model_or_path, filename)
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"Requested checkpoint {filename!r} not found in "
+                        f"{model_or_path}")
+                return p
+            for cand in WEIGHT_FILE_CANDIDATES:
                 p = os.path.join(model_or_path, cand)
                 if os.path.exists(p):
                     return p
@@ -207,7 +271,7 @@ def resolve_weight_path(model_or_path: str, filename: Optional[str] = None) -> s
     from huggingface_hub import hf_hub_download
 
     last_err: Exception | None = None
-    for cand in ((filename,) if filename else ()) + WEIGHT_FILE_CANDIDATES:
+    for cand in ((filename,) if filename else WEIGHT_FILE_CANDIDATES):
         try:
             return hf_hub_download(repo_id=model_or_path, filename=cand)
         except Exception as e:  # noqa: PERF203

@@ -81,7 +81,11 @@ int wav_read(const char* path, float** out, WavInfo* info) {
       data_len = chunk_len;
       if (pos + 8 + data_len > (size_t)size) data_len = (uint32_t)(size - pos - 8);
     }
-    pos += 8 + chunk_len + (chunk_len & 1);
+    // 64-bit advance: with uint32 arithmetic a declared chunk_len near
+    // UINT32_MAX wraps `8 + chunk_len + pad` to 0 and the walk never
+    // terminates (a malformed file would wedge the process inside native
+    // code, holding the GIL).
+    pos += 8 + (size_t)chunk_len + (chunk_len & 1);
   }
   if (!data || channels == 0 || rate == 0) return -5;
 

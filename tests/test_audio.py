@@ -110,3 +110,30 @@ def test_malformed_wavs_never_crash(tmp_path):
             assert out.ndim == 1  # parsed despite corruption: fine
         except Exception:
             pass  # Python-level rejection is the required behavior
+
+
+def test_wav_chunk_len_uint32_wrap_terminates(tmp_path):
+    """A chunk declaring len 0xFFFFFFF7 (odd) makes `8 + len + pad` wrap to
+    exactly 0 in uint32 — the native chunk walk used to loop forever on it,
+    wedging the process inside native code with the GIL held."""
+    import signal
+
+    from csm_mlx_tpu.utils.audio import read_audio
+
+    blob = bytearray()
+    blob += b"RIFF" + (0x100).to_bytes(4, "little") + b"WAVE"
+    blob += b"JUNK" + (0xFFFFFFF7).to_bytes(4, "little") + b"\x00" * 64
+    p = tmp_path / "wrap.wav"
+    p.write_bytes(bytes(blob))
+
+    def _bail(signum, frame):  # convert a regression back into a failure
+        raise AssertionError("read_audio hung on uint32 chunk-length wrap")
+
+    old = signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(30)
+    try:
+        with pytest.raises(Exception):
+            read_audio(p, 24000)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

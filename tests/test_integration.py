@@ -266,3 +266,15 @@ def test_generate_long_trims_context_to_window(offline_tokenizers):
     out = generate_long(narrow, text, speaker=0, rolling_context=50,
                         max_segment_audio_ms=240, temperature=0.0)
     assert np.asarray(out).shape[0] > 0
+
+
+def test_generate_long_oversize_segment_budget_raises(offline_tokenizers, model):
+    """A max_segment_audio_ms that alone exceeds the backbone context must
+    raise a clear ValueError up front — it used to explode the text into
+    single characters before failing with 'must be below <negative>'."""
+    from csm_mlx_tpu.generation import generate_long
+
+    ctx = model.args.backbone_config.max_position_embeddings or 2048
+    with pytest.raises(ValueError, match="does not fit"):
+        generate_long(model, "Hello there.", speaker=0,
+                      max_segment_audio_ms=(ctx + 10) * 80)

@@ -1,5 +1,6 @@
 """Weight IO tests: flat<->tree mapping, save/load roundtrip, batch gen."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -114,3 +115,112 @@ def test_nonstrict_load_evicts_superseded_representations(tmp_path):
     # untouched layers keep their quantized/fused form
     at1 = model.params["decoder"]["layers"][1]["self_attn"]
     assert "qkv_proj" in at1
+
+def _quantized_fused_pair(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import tiny_args
+    from csm_mlx_tpu.models.csm import CSM
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(0))
+    fresh = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(1))
+    quantize_model(model, mode="w8a8", min_size=1,
+                   targets=("decoder", "projection"), fuse=True)
+    return model, fresh
+
+
+def test_nonstrict_partial_proj_update_over_fused_fails_loud(tmp_path):
+    """A checkpoint updating SOME of q/k/v (subset fine-tune, or an
+    adapter-only dict) over a fused model must raise: the fused qkv_proj is
+    the only copy of the other projections, so evicting it destroys them
+    and keeping it silently ignores the update. Regression: this used to
+    evict and crash the next forward with KeyError 'k_proj'."""
+    import numpy as np
+
+    from csm_mlx_tpu.loaders import save_csm_weights
+
+    model, fresh = _quantized_fused_pair(tmp_path)
+    q_new = fresh.params["decoder"]["layers"][0]["self_attn"]["q_proj"]["weight"]
+
+    # subset fine-tune: q_proj base weight only
+    p1 = str(tmp_path / "q_only.safetensors")
+    save_csm_weights(p1, {"decoder": {"layers": [
+        {"self_attn": {"q_proj": {"weight": q_new}}}]}})
+    with pytest.raises(ValueError, match="fused"):
+        model.load_weights(p1, strict=False)
+    # the failed load must not have eaten the fused weights
+    assert "qkv_proj" in model.params["decoder"]["layers"][0]["self_attn"]
+
+    # adapter-only update: q_proj carrying lora factors, no base weight
+    p2 = str(tmp_path / "lora_only.safetensors")
+    save_csm_weights(p2, {"decoder": {"layers": [
+        {"self_attn": {"q_proj": {
+            "lora_a": np.zeros((4, q_new.shape[1]), np.float32),
+            "lora_b": np.zeros((q_new.shape[0], 4), np.float32)}}}]}})
+    with pytest.raises(ValueError, match="fused"):
+        model.load_weights(p2, strict=False)
+
+
+def test_nonstrict_load_preserves_quant_dtypes(tmp_path):
+    """Quantized checkpoints round-trip with exact dtypes: int8 codes cast
+    to the model float dtype would silently disable the W8A8 MXU kernel and
+    the resident decoder (both dispatch on weight_q.dtype), and bf16-rounded
+    scales would degrade every dequantized weight."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import tiny_args
+    from csm_mlx_tpu.loaders import save_csm_weights
+    from csm_mlx_tpu.models.csm import CSM
+
+    model, _ = _quantized_fused_pair(tmp_path)
+    path = str(tmp_path / "quant.safetensors")
+    save_csm_weights(path, model.params)
+
+    target = CSM(tiny_args(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(2))
+    target.load_weights(path, strict=False)
+    proj = target.params["projection"]
+    assert proj["weight_q"].dtype == jnp.int8
+    assert proj["scales"].dtype == jnp.float32
+    # the dense (unquantized) weights did get cast to the model dtype
+    assert target.params["backbone"]["layers"][0]["self_attn"][
+        "q_proj"]["weight"].dtype == jnp.bfloat16
+
+
+def test_nonstrict_load_does_not_mutate_existing_tree(tmp_path):
+    """load_weights(strict=False) must not write into / evict from the
+    caller's pre-load params tree: a stashed rollback copy (or a second
+    model sharing the tree) would silently mutate along."""
+    from csm_mlx_tpu.loaders import save_csm_weights
+
+    model, fresh = _quantized_fused_pair(tmp_path)
+    before = model.params  # stashed reference, e.g. for rollback
+    proj_before = before["projection"]
+    assert "weight_q" in proj_before
+
+    path = str(tmp_path / "dense.safetensors")
+    save_csm_weights(
+        path, {"projection": {"weight": fresh.params["projection"]["weight"]}})
+    model.load_weights(path, strict=False)
+
+    assert "weight" in model.params["projection"]
+    assert "weight_q" not in model.params["projection"]
+    # the stashed tree still holds the pre-load representation
+    assert "weight_q" in proj_before
+    assert "weight" not in proj_before
+
+
+def test_resolve_weight_path_explicit_filename_missing_raises(tmp_path):
+    """An explicitly requested filename that is absent must raise, not
+    silently fall back to the default candidates (which would load the
+    base model in place of the requested fine-tune)."""
+    from csm_mlx_tpu.loaders import resolve_weight_path, save_csm_weights
+
+    save_csm_weights(str(tmp_path / "mlx-ckpt.safetensors"),
+                     {"x": np.zeros((2, 2), np.float32)})
+    # default scan still works
+    assert resolve_weight_path(str(tmp_path)).endswith("mlx-ckpt.safetensors")
+    with pytest.raises(FileNotFoundError, match="nope"):
+        resolve_weight_path(str(tmp_path), filename="nope.safetensors")
