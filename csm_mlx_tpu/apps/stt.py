@@ -195,16 +195,39 @@ class OnlineASRProcessor:
         re-transcribes them). Midpoint-vs-frontier is robust to timestamp
         jitter (a word only survives if more than half of it lies past the
         last committed end); a leading word whose text equals the last
-        committed word and overlaps it is dropped too."""
+        committed word and overlaps it is dropped too.
+
+        Punctuation-only tokens get a frontier-adjacency exemption: a '.'
+        whose span hugs the tail of the word it follows sits at/behind the
+        frontier the moment that word commits, and the plain midpoint rule
+        would filter it out of every future hypothesis before the commit
+        loop (which holds punctuation back until a neighbor agrees) could
+        ever see it again — silently losing sentence-final punctuation."""
         if not self.committed:
             return hyp
         last_end = self.committed[-1][1]
-        hyp = [w for w in hyp if (w.start + w.end) / 2 > last_end]
+        kept = []
+        for w in hyp:
+            if (w.start + w.end) / 2 > last_end:
+                kept.append(w)
+            elif (_norm(w.word) == "" and w.end > last_end - 0.3
+                    and not self._punct_already_committed(w)):
+                kept.append(w)
+        hyp = kept
         last_norm = _norm(self.committed[-1][2])
         while hyp and _norm(hyp[0].word) == last_norm \
                 and hyp[0].start < last_end:
             hyp = hyp[1:]
         return hyp
+
+    def _punct_already_committed(self, w: AsrWord) -> bool:
+        """True when a committed token already covers this punctuation
+        (same text, overlapping span) — re-keeping it would duplicate it."""
+        ws = w.word.strip()
+        for cs, ce, cw in self.committed[-4:]:
+            if cw.strip() == ws and w.start < ce + 0.05 and w.end > cs - 0.05:
+                return True
+        return False
 
     def process_iter(self) -> str:
         """Return newly agreed-upon text ("" if none yet)."""

@@ -28,6 +28,7 @@ import argparse
 import asyncio
 import logging
 import re
+import threading
 import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
@@ -545,6 +546,15 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
     leaks."""
     loop = asyncio.get_running_loop()
     gen_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="tts-gen")
+
+    def abandon_pool() -> None:
+        # Abandon the (possibly wedged) pool so the NEXT sentence gets a
+        # live thread; a stuck thread inside it leaks by design.
+        nonlocal gen_pool
+        gen_pool.shutdown(wait=False)
+        gen_pool = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="tts-gen")
+
     while not state.shutdown.is_set():
         try:
             sentence = await asyncio.wait_for(state.llm_out_q.get(), timeout=0.25)
@@ -585,9 +595,7 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                     # and hand the next sentence a fresh one, exactly like
                     # the wedged-next() branch below.
                     gen_pool.submit(gen.close)
-                    gen_pool.shutdown(wait=False)
-                    gen_pool = ThreadPoolExecutor(
-                        max_workers=1, thread_name_prefix="tts-gen")
+                    abandon_pool()
                     break
                 fut = loop.run_in_executor(gen_pool,
                                            lambda: next(gen, None))
@@ -605,16 +613,10 @@ async def tts_worker(state: ConversationState, tts_stream_fn, audio_io: AudioIO,
                     # done-callback runs on the EVENT LOOP thread, and
                     # close() may block on the same degraded device, so
                     # hand it to a throwaway daemon thread (rare path).
-                    import threading as _threading
-
                     fut.add_done_callback(
-                        lambda _f, g=gen: _threading.Thread(
+                        lambda _f, g=gen: threading.Thread(
                             target=g.close, daemon=True).start())
-                    # Abandon the wedged pool so the NEXT sentence gets a
-                    # live thread; the stuck one leaks by design.
-                    gen_pool.shutdown(wait=False)
-                    gen_pool = ThreadPoolExecutor(
-                        max_workers=1, thread_name_prefix="tts-gen")
+                    abandon_pool()
                     break
                 if chunk is None:
                     break

@@ -217,7 +217,10 @@ class TTSServer:
                         break  # client disconnected: stop dispatching frames
                     loop.call_soon_threadsafe(
                         q.put_nowait, np.asarray(chunk, dtype=np.float32))
-            except Exception as exc:
+            except BaseException as exc:
+                # BaseException too (matching the consumer's check below):
+                # a non-Exception escaping here would enqueue neither the
+                # error nor the sentinel and the consumer would hang forever.
                 loop.call_soon_threadsafe(q.put_nowait, exc)
             else:
                 loop.call_soon_threadsafe(q.put_nowait, done)
@@ -433,7 +436,7 @@ class ContinuousTTSServer:
             model, n_slots=n_slots, max_frames=max_frames,
             max_prompt_bucket=max_prompt_bucket, temperature=temperature,
             sampler=sampler, codec=True)
-        if getattr(self.engine, "_mimi", None) is None:
+        if not getattr(self.engine, "has_codec", False):
             # A codec-less engine completes every request "successfully"
             # with zero-length audio — fail construction loudly instead.
             raise ValueError(
@@ -739,7 +742,11 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                 await writer.drain()
             except Exception:
                 pass
-        except Exception as exc:
+        except BaseException as exc:
+            # BaseException: the continuous stream path re-raises engine
+            # errors latched as BaseException — those must still terminate
+            # the chunked framing cleanly rather than kill the connection
+            # with no terminator.
             try:
                 if streamed:
                     # The chunked 200 is already on the wire: a 500 body
@@ -752,6 +759,8 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                 await writer.drain()
             except Exception:
                 pass
+            if not isinstance(exc, Exception):
+                raise  # CancelledError/KeyboardInterrupt: propagate
         finally:
             writer.close()
 

@@ -341,3 +341,49 @@ def test_fuzz_random_admissions_and_cancels_match_solo(model, seed):
         completed += 1
         np.testing.assert_array_equal(got, _solo(model, p, m, mf))
     assert completed >= 1  # the schedule must exercise real completions
+
+
+def test_result_never_delivers_chunks_after_sentinel():
+    """The documented chunk-callback contract is 'chunks, then one final
+    None'; a chunk pushed after completion (whatever in-flight scheduler
+    arithmetic produced it) must be dropped, not delivered after None."""
+    from csm_mlx_tpu.continuous import ContinuousResult
+
+    res = ContinuousResult(max_frames=8)
+    events = []
+    res.set_chunk_callback(lambda c: events.append(
+        "none" if c is None else "chunk"))
+    res._push_chunk(np.zeros(16, np.float32))
+    res._finish()
+    res._push_chunk(np.zeros(16, np.float32))   # late in-flight block
+    res._finish()                               # idempotent
+    assert events == ["chunk", "none"]
+    # queue mode too: a late push must not strand an item after the sentinel
+    res2 = ContinuousResult(max_frames=8)
+    res2._push_chunk(np.zeros(16, np.float32))
+    res2._finish()
+    res2._push_chunk(np.zeros(16, np.float32))
+    assert len(list(res2.chunks())) == 1
+
+
+def test_result_replay_callback_exception_does_not_strand_chunks():
+    """A consumer callback that raises during set_chunk_callback's replay
+    must not abort the drain: remaining queued chunks (and the sentinel)
+    still go through the callback, matching _push_chunk/_finish policy."""
+    from csm_mlx_tpu.continuous import ContinuousResult
+
+    res = ContinuousResult(max_frames=8)
+    res._push_chunk(np.zeros(16, np.float32))
+    res._push_chunk(np.zeros(16, np.float32))
+
+    events = []
+
+    def bad_cb(c):
+        events.append("none" if c is None else "chunk")
+        raise RuntimeError("consumer bug")
+
+    res.set_chunk_callback(bad_cb)              # must not raise
+    assert events == ["chunk", "chunk"]
+    assert res._chunks.empty()                  # nothing stranded
+    res._finish()
+    assert events == ["chunk", "chunk", "none"]

@@ -585,3 +585,35 @@ def test_continuous_server_rejects_codecless_engine(model):
                            codec=False)
     with pytest.raises(ValueError, match="codec"):
         ContinuousTTSServer(model, engine=eng)
+
+
+def test_stream_producer_base_exception_does_not_hang(model, monkeypatch):
+    """A non-Exception BaseException out of stream_generate used to escape
+    the producer's `except Exception`, enqueueing neither the error nor the
+    done sentinel — the consumer awaited the queue forever (with the stream
+    slot accounted and the HTTP connection wedged)."""
+    import csm_mlx_tpu.generation as gen_mod
+
+    class Boom(BaseException):
+        pass
+
+    def bad_stream(*a, **k):
+        raise Boom("device gave up")
+
+    monkeypatch.setattr(gen_mod, "stream_generate", bad_stream)
+
+    async def main():
+        server = TTSServer(model, max_audio_length_ms=400)
+        try:
+            agen = server.synthesize_stream("x")
+            with pytest.raises(Boom):
+                await asyncio.wait_for(agen.__anext__(), timeout=30)
+            # the device lock must free up for the next caller (release
+            # lands on the executor future's done-callback, one loop tick
+            # later — so acquire with a timeout rather than poll .locked())
+            await asyncio.wait_for(server._device_lock.acquire(), timeout=10)
+            server._device_lock.release()
+        finally:
+            await server.stop()
+
+    asyncio.run(main())

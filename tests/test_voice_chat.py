@@ -735,3 +735,38 @@ def test_online_asr_interior_punct_disagreement_does_not_commit():
     assert proc.committed[-1][1] == pytest.approx(0.4)
     t3 = proc.process_iter()                   # h2 vs h3: ','+"world" land
     assert "world" in t3
+
+
+def test_online_asr_frontier_adjacent_trailing_punct_commits_at_finish():
+    """Whisper often stamps a trailing '.' with a span hugging the tail of
+    the word it follows; once that word commits, the punct sits at/behind
+    the committed frontier. The midpoint drop rule used to filter it out of
+    every later hypothesis BEFORE the commit loop could pair it with a
+    neighbor — sentence-final punctuation silently vanished."""
+    h = [(0.0, 0.40, "hello"), (0.39, 0.40, ".")]
+    proc = OnlineASRProcessor(ScriptedHypASR([h, h, h, h]))
+    proc.insert_audio_chunk(np.zeros(16000, dtype=np.float32))
+    assert proc.process_iter() == ""            # priming
+    assert proc.process_iter() == "hello"       # punct held back, no neighbor
+    assert proc.process_iter() == ""            # still held (punct only)
+    final = proc.finish()
+    assert "." in final
+    record = [w for _, _, w in proc.committed]
+    assert record == ["hello", "."]             # exactly once, in order
+
+
+def test_online_asr_frontier_adjacent_punct_commits_with_next_word():
+    """Same frontier-hugging '.' but speech continues: the punct must land
+    (exactly once) when the following word reaches agreement."""
+    h1 = [(0.0, 0.40, "hello"), (0.39, 0.40, ".")]
+    h2 = h1 + [(0.8, 1.2, "world")]
+    proc = OnlineASRProcessor(ScriptedHypASR([h1, h1, h2, h2, h2]))
+    proc.insert_audio_chunk(np.zeros(16000 * 2, dtype=np.float32))
+    assert proc.process_iter() == ""
+    assert proc.process_iter() == "hello"
+    assert proc.process_iter() == ""            # '.' pending, world unconfirmed
+    t4 = proc.process_iter()                     # world agrees -> both commit
+    assert "." in t4 and "world" in t4
+    proc.process_iter()                          # extra pass: no duplicates
+    record = [w for _, _, w in proc.committed]
+    assert record == ["hello", ".", "world"]
