@@ -187,7 +187,29 @@ def _merge(dst: Any, src: Any) -> Any:
         if "weight_q" in src and "weight" not in src:
             dst.pop("weight", None)
         for fused, parts in _FUSED_GROUPS:
-            if fused not in dst or fused in src:
+            if fused in src:
+                # The checkpoint carries the fused form, which the forward
+                # path prefers: adapters sitting on the unfused projections
+                # would silently stop applying (_attn_layer reads only
+                # `fused` when present) — fail loudly; and the parts' base
+                # weights become dead copies — evict them.
+                adapted = [p for p in parts
+                           if isinstance(dst.get(p), dict)
+                           and "lora_a" in dst[p]]
+                if adapted:
+                    raise ValueError(
+                        f"checkpoint provides {fused!r} but the model "
+                        f"carries LoRA adapters on {adapted}, which the "
+                        f"fused forward path would silently ignore. Fuse or "
+                        f"strip the adapters before loading this checkpoint.")
+                for p in parts:
+                    if isinstance(dst.get(p), dict):
+                        for k in ("weight", "weight_q", "scales", "biases"):
+                            dst[p].pop(k, None)
+                        if not dst[p]:
+                            dst.pop(p)
+                continue
+            if fused not in dst:
                 continue
             named = [p for p in parts if p in src]
             if not named:

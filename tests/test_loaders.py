@@ -185,8 +185,10 @@ def test_nonstrict_load_preserves_quant_dtypes(tmp_path):
     assert proj["weight_q"].dtype == jnp.int8
     assert proj["scales"].dtype == jnp.float32
     # the dense (unquantized) weights did get cast to the model dtype
+    # (o_proj stays unfused; q/k/v base copies are evicted in favor of the
+    # checkpoint's fused qkv_proj, which is what actually serves)
     assert target.params["backbone"]["layers"][0]["self_attn"][
-        "q_proj"]["weight"].dtype == jnp.bfloat16
+        "o_proj"]["weight"].dtype == jnp.bfloat16
 
 
 def test_nonstrict_load_does_not_mutate_existing_tree(tmp_path):
@@ -224,3 +226,34 @@ def test_resolve_weight_path_explicit_filename_missing_raises(tmp_path):
     assert resolve_weight_path(str(tmp_path)).endswith("mlx-ckpt.safetensors")
     with pytest.raises(FileNotFoundError, match="nope"):
         resolve_weight_path(str(tmp_path), filename="nope.safetensors")
+
+
+def test_nonstrict_fused_checkpoint_over_unfused_model(tmp_path):
+    """Loading a fused/quantized checkpoint onto a plain model must (a) make
+    the fused weights serve (the forward path prefers qkv_proj) and evict
+    the now-dead unfused base weights, and (b) fail loudly when the model
+    carries LoRA adapters on the unfused projections — the fused path would
+    silently stop applying them."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import tiny_args
+    from csm_mlx_tpu.finetune.lora import linear_to_lora_layers
+    from csm_mlx_tpu.loaders import save_csm_weights
+    from csm_mlx_tpu.models.csm import CSM
+
+    fused_model, _ = _quantized_fused_pair(tmp_path)
+    path = str(tmp_path / "fused.safetensors")
+    save_csm_weights(path, fused_model.params)
+
+    plain = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(3))
+    plain.load_weights(path, strict=False)
+    at = plain.params["decoder"]["layers"][0]["self_attn"]
+    assert "qkv_proj" in at
+    # stale unfused base weights are gone (they would never serve again)
+    assert "q_proj" not in at or "weight" not in at["q_proj"]
+
+    adapted = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(4))
+    linear_to_lora_layers(adapted, {"rank": 4, "keys": ["attn"]})
+    with pytest.raises(ValueError, match="adapters"):
+        adapted.load_weights(path, strict=False)
