@@ -48,8 +48,9 @@ def add_parser(subparsers) -> None:
                    help="Continuous batching: per-slot admission into one "
                         "always-running batched frame loop (finished rows "
                         "recycle immediately; best under mixed lengths)")
-    p.add_argument("--slots", type=int, default=16,
-                   help="Continuous mode: concurrent generation slots")
+    p.add_argument("--slots", type=int, default=48,
+                   help="Continuous mode: concurrent generation slots "
+                        "(48 measured 1.48x over 16, benchmarks/slots_ab.py)")
     p.set_defaults(func=run)
 
 

@@ -415,7 +415,10 @@ class ContinuousTTSServer:
         self,
         model,
         *,
-        n_slots: int = 16,
+        n_slots: int = 48,  # interleaved A/B: 1.48x over 16 slots
+                            # (benchmarks/slots_ab.py — fewer, wider step
+                            # blocks amortize dispatch; 48 rows stay on the
+                            # resident kernel's VMEM plateau)
         max_audio_length_ms: float = 30_000,
         max_prompt_bucket: int = 512,
         temperature: float = 0.8,

@@ -19,7 +19,6 @@ Weights resolve from (in order): explicit path argument, the
 from __future__ import annotations
 
 import os
-from functools import cache
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -74,14 +73,25 @@ def get_audio_tokenizer(
 get_audio_tokenizer.cache_clear = _MIMI_CACHE.clear  # drop-in for @cache
 
 
-@cache
+_TEXT_TOK_CACHE: dict = {}  # "tok" -> (source, tokenizer)
+
+
 def get_text_tokenizer(path: Optional[str] = None):
     """Llama-3.2-1B tokenizer with single-sequence BOS/EOS template
-    (tokenizers.py:24-40)."""
+    (tokenizers.py:24-40).
+
+    Same canonical-singleton contract as `get_audio_tokenizer`: a startup
+    call with an explicit `path` installs THE instance that later no-arg
+    calls (`tokenize_text_segment` inside generate) share — a per-path
+    cache would make the internal call re-resolve the default HF repo
+    (offline crash, or a silently different tokenizer)."""
     from tokenizers.processors import TemplateProcessing
     from transformers import AutoTokenizer
 
     src = path or os.environ.get("CSM_TPU_TEXT_TOKENIZER") or TOKENIZERS["text"]["repo_id"]
+    cached = _TEXT_TOK_CACHE.get("tok")
+    if cached is not None and (path is None or cached[0] == src):
+        return cached[1]
     tokenizer = AutoTokenizer.from_pretrained(src)
     bos = tokenizer.bos_token
     eos = tokenizer.eos_token
@@ -93,7 +103,11 @@ def get_text_tokenizer(path: Optional[str] = None):
             (f"{eos}", tokenizer.eos_token_id),
         ],
     )
+    _TEXT_TOK_CACHE["tok"] = (src, tokenizer)
     return tokenizer
+
+
+get_text_tokenizer.cache_clear = _TEXT_TOK_CACHE.clear  # drop-in for @cache
 
 
 def tokenize_text_segment(
@@ -116,7 +130,14 @@ def tokenize_audio(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """24 kHz mono audio -> ((F+1, 33) frames incl. all-zero EOS, mask)."""
     audio_tokenizer = get_audio_tokenizer(n_audio_codebooks)
-    audio = np.asarray(audio, dtype=np.float32).reshape(1, 1, -1)
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 0 or sum(d > 1 for d in audio.shape) > 1:
+        # A blind reshape(-1) would interleave stereo channels into one
+        # double-speed garbage waveform and encode it without any error.
+        raise ValueError(
+            f"tokenize_audio expects mono 1-D audio, got shape "
+            f"{audio.shape}; downmix or select a channel first")
+    audio = audio.reshape(1, 1, -1)
     codes = np.asarray(audio_tokenizer.encode(jnp.asarray(audio)))[0]  # (K, F)
     eos_frame = np.zeros((codes.shape[0], 1), dtype=codes.dtype)
     codes = np.concatenate([codes, eos_frame], axis=1)

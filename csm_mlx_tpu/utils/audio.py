@@ -50,11 +50,17 @@ def _native() -> Optional[ctypes.CDLL]:
     _lib_tried = True
     try:
         if not os.path.exists(_NATIVE_SO) and os.path.exists(_NATIVE_SRC):
+            # Compile to a per-process temp name and atomically rename:
+            # concurrent first-use across processes must never dlopen a
+            # half-written .so (a truncated ELF usually raises, a mid-write
+            # mapping can segfault).
+            tmp_so = f"{_NATIVE_SO}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _NATIVE_SO, _NATIVE_SRC],
+                 "-o", tmp_so, _NATIVE_SRC],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp_so, _NATIVE_SO)
         lib = ctypes.CDLL(_NATIVE_SO)
         lib.wav_read.argtypes = [ctypes.c_char_p,
                                  ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),

@@ -61,7 +61,12 @@ class RtfMeter:
             self._first_chunk_s = time.perf_counter() - self._start
 
     def stop(self) -> float:
-        elapsed = time.perf_counter() - (self._start or time.perf_counter())
+        if self._start is None:
+            # Same contract as tick(): stop() without (or twice per) start()
+            # must error, not append a plausible-looking garbage RTF.
+            raise RuntimeError("RtfMeter.stop() before start()")
+        elapsed = time.perf_counter() - self._start
+        self._start = None
         rtf = (self._frames * self.frame_seconds) / elapsed if elapsed else 0.0
         self.history.append(rtf)
         return rtf

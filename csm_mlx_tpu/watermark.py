@@ -129,6 +129,20 @@ def embed_watermark(
     `payload` is an optional (payload_len,) 0/1 bit array; by default the
     bits are derived from the key (`default_payload`).
     """
+    if payload is not None:
+        payload = jnp.asarray(payload)
+        if payload.shape != (payload_len,):
+            # A short payload would otherwise be silently clamped by JAX's
+            # out-of-bounds gather (slots past its end all carry its last
+            # bit against the wrong chip rows) — decode garbage, no error.
+            raise ValueError(
+                f"payload must have shape ({payload_len},) to match "
+                f"payload_len; got {payload.shape}")
+        if not isinstance(payload, jax.core.Tracer) and \
+                not bool(jnp.isin(payload, jnp.asarray([0, 1])).all()):
+            # ±1-valued payloads (a natural mistake given the internal sign
+            # mapping) would triple the ripple on 0-bits.
+            raise ValueError("payload bits must be 0/1")
     audio = jnp.asarray(audio)
     if audio.ndim == 2:
         return jax.vmap(
@@ -175,6 +189,13 @@ def embed_watermark(
         band = spec[:, BAND_LO:BAND_HI]
         scale = target / (jnp.abs(band) + 1e-12)
         wm = wola(spec.at[:, BAND_LO:BAND_HI].set(band * scale.astype(band.dtype)))
+    if jnp.issubdtype(in_dtype, jnp.integer):
+        # The ripple can push near-full-scale samples past the integer
+        # range, and XLA float->int conversion of out-of-range values is
+        # platform-dependent (wrap = audible clicks at the loudest points):
+        # round and clip explicitly, like the WAV writers do.
+        info = jnp.iinfo(in_dtype)
+        wm = jnp.clip(jnp.round(wm), info.min, info.max)
     return wm.astype(in_dtype)
 
 

@@ -278,3 +278,48 @@ def test_generate_long_oversize_segment_budget_raises(offline_tokenizers, model)
     with pytest.raises(ValueError, match="does not fit"):
         generate_long(model, "Hello there.", speaker=0,
                       max_segment_audio_ms=(ctx + 10) * 80)
+
+
+def test_tokenize_audio_rejects_non_mono():
+    """Stereo (T, 2) audio must raise, not be silently flattened into one
+    interleaved double-speed waveform and encoded as garbage."""
+    from csm_mlx_tpu.tokenizers import tokenize_audio
+
+    stereo = np.zeros((1000, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="mono"):
+        tokenize_audio(stereo, n_audio_codebooks=8)
+
+
+def test_get_text_tokenizer_explicit_path_installs_canonical(monkeypatch):
+    """An explicit startup path must install THE instance that later no-arg
+    calls (tokenize_text_segment inside generate) share — otherwise the
+    internal call re-resolves the default HF repo (offline crash or a
+    silently different tokenizer)."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+
+    calls = []
+
+    class _Tok:
+        bos_token = "<b>"; eos_token = "<e>"
+        bos_token_id = 1; eos_token_id = 2
+
+        def __init__(self):
+            class _Inner:  # the post_processor assignment target
+                post_processor = None
+            self._tokenizer = _Inner()
+
+    def fake_from_pretrained(src, **kw):
+        calls.append(src)
+        return _Tok()
+
+    import transformers
+    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
+                        staticmethod(fake_from_pretrained))
+    tok_mod.get_text_tokenizer.cache_clear()
+    try:
+        t1 = tok_mod.get_text_tokenizer("/some/local/tok")
+        t2 = tok_mod.get_text_tokenizer()   # the internal no-arg call
+        assert t2 is t1
+        assert calls == ["/some/local/tok"]
+    finally:
+        tok_mod.get_text_tokenizer.cache_clear()

@@ -21,3 +21,16 @@ def test_rtf_meter():
 def test_annotate_contextmanager():
     with annotate("test-span"):
         pass
+
+
+def test_rtf_meter_stop_requires_start():
+    import pytest
+
+    m = RtfMeter(frame_seconds=0.08)
+    with pytest.raises(RuntimeError, match="stop"):
+        m.stop()
+    m.start()
+    m.tick()
+    m.stop()
+    with pytest.raises(RuntimeError, match="stop"):
+        m.stop()  # double-stop would re-measure from a stale start

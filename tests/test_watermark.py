@@ -124,3 +124,28 @@ def test_default_payload_deterministic():
     b = np.asarray(default_payload(KEY))
     np.testing.assert_array_equal(a, b)
     assert set(np.unique(a)) <= {0, 1}
+
+
+def test_embed_rejects_bad_payloads():
+    """A short payload would be silently clamped by JAX's out-of-bounds
+    gather (half the slots carry the wrong bit); ±1 payloads would triple
+    the ripple on 0-bits. Both must raise."""
+    import pytest
+
+    audio = np.sin(np.linspace(0, 400, 24000)).astype(np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        embed_watermark(audio, 7, payload=np.ones(8, np.int32))
+    with pytest.raises(ValueError, match="0/1"):
+        embed_watermark(audio, 7,
+                        payload=(np.arange(16) % 2 * 2 - 1).astype(np.int32))
+
+
+def test_embed_int16_clips_instead_of_wrapping():
+    """Near-full-scale int16 input: the ±6% ripple must clip at the rail,
+    never wrap to large negative values (audible clicks at the loudest
+    points)."""
+    loud = (np.sin(np.linspace(0, 400, 24000)) * 32600).astype(np.int16)
+    wm = np.asarray(embed_watermark(loud, 7))
+    assert wm.dtype == np.int16
+    # wrap-around would show as a sample jumping the full range
+    assert np.abs(wm.astype(np.int32) - loud.astype(np.int32)).max() < 8000
