@@ -35,6 +35,8 @@ def main():
 
     slots_a = int(os.environ.get("SLOTS_A", "16"))
     slots_b = int(os.environ.get("SLOTS_B", "48"))
+    fps_a = int(os.environ.get("FPS_A", "8"))
+    fps_b = int(os.environ.get("FPS_B", "8"))
     n_requests = int(os.environ.get("N_REQUESTS", "96"))
     seconds = float(os.environ.get("SECONDS", "5"))
     rounds = int(os.environ.get("ROUNDS", "3"))
@@ -58,11 +60,11 @@ def main():
         prompts.append((p, m))
     audio_sec = n_requests * frames * 0.08
 
-    def build(n_slots):
+    def build(n_slots, fps):
         return ContinuousEngine(
             model, n_slots=n_slots, max_frames=frames, max_prompt_bucket=32,
-            capacity_slack=64, temperature=0.0, codec=True,
-            key=jax.random.PRNGKey(1))
+            capacity_slack=max(64, 2 * fps), temperature=0.0, codec=True,
+            frames_per_step=fps, key=jax.random.PRNGKey(1))
 
     def run(eng):
         t0 = time.perf_counter()
@@ -73,7 +75,7 @@ def main():
             r.audio()
         return time.perf_counter() - t0
 
-    engines = {"a": build(slots_a), "b": build(slots_b)}
+    engines = {"a": build(slots_a, fps_a), "b": build(slots_b, fps_b)}
     for eng in engines.values():  # warm: full workload, untimed
         run(eng)
 
@@ -86,11 +88,14 @@ def main():
     print(json.dumps({
         "metric": "slots_ab_service_rtf",
         "value": round(float(np.median(ratios)), 3),
-        "unit": f"x (slots={slots_b} over slots={slots_a})",
+        "unit": (f"x (slots={slots_b},fps={fps_b} over "
+                 f"slots={slots_a},fps={fps_a})"),
         "rtf_a": [round(x, 1) for x in rtf["a"]],
         "rtf_b": [round(x, 1) for x in rtf["b"]],
         "slots_a": slots_a,
         "slots_b": slots_b,
+        "fps_a": fps_a,
+        "fps_b": fps_b,
         "n_requests": n_requests,
         "seconds_each": seconds,
         "backend": jax.default_backend(),
