@@ -37,6 +37,8 @@ def main():
     slots_b = int(os.environ.get("SLOTS_B", "48"))
     fps_a = int(os.environ.get("FPS_A", "8"))
     fps_b = int(os.environ.get("FPS_B", "8"))
+    transfer_a = os.environ.get("TRANSFER_A", "float32")
+    transfer_b = os.environ.get("TRANSFER_B", "float32")
     n_requests = int(os.environ.get("N_REQUESTS", "96"))
     seconds = float(os.environ.get("SECONDS", "5"))
     rounds = int(os.environ.get("ROUNDS", "3"))
@@ -60,11 +62,12 @@ def main():
         prompts.append((p, m))
     audio_sec = n_requests * frames * 0.08
 
-    def build(n_slots, fps):
+    def build(n_slots, fps, transfer):
         return ContinuousEngine(
             model, n_slots=n_slots, max_frames=frames, max_prompt_bucket=32,
             capacity_slack=max(64, 2 * fps), temperature=0.0, codec=True,
-            frames_per_step=fps, key=jax.random.PRNGKey(1))
+            frames_per_step=fps, transfer=transfer,
+            key=jax.random.PRNGKey(1))
 
     def run(eng):
         t0 = time.perf_counter()
@@ -75,7 +78,8 @@ def main():
             r.audio()
         return time.perf_counter() - t0
 
-    engines = {"a": build(slots_a, fps_a), "b": build(slots_b, fps_b)}
+    engines = {"a": build(slots_a, fps_a, transfer_a),
+               "b": build(slots_b, fps_b, transfer_b)}
     for eng in engines.values():  # warm: full workload, untimed
         run(eng)
 
@@ -96,6 +100,8 @@ def main():
         "slots_b": slots_b,
         "fps_a": fps_a,
         "fps_b": fps_b,
+        "transfer_a": transfer_a,
+        "transfer_b": transfer_b,
         "n_requests": n_requests,
         "seconds_each": seconds,
         "backend": jax.default_backend(),

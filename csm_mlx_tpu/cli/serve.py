@@ -83,7 +83,7 @@ def run(args: argparse.Namespace) -> None:
             csm, n_slots=args.slots,
             max_audio_length_ms=args.max_audio_length,
             temperature=args.temperature, watermark_key=args.watermark_key,
-            max_pending=args.max_pending,
+            max_pending=args.max_pending, transfer=args.transfer,
         )
     else:
         server = TTSServer(

@@ -426,6 +426,9 @@ class ContinuousTTSServer:
         watermark_key: Optional[int] = None,
         engine: Optional[Any] = None,
         max_pending: Optional[int] = None,
+        transfer: str = "int16",  # measured 1.39x over float32
+                                  # (benchmarks/slots_ab.py TRANSFER_A/B);
+                                  # lossless for the PCM16 HTTP endpoints
     ):
         from csm_mlx_tpu.continuous import ContinuousEngine
         from csm_mlx_tpu.generation import FRAME_MS
@@ -438,7 +441,7 @@ class ContinuousTTSServer:
         self.engine = engine or ContinuousEngine(
             model, n_slots=n_slots, max_frames=max_frames,
             max_prompt_bucket=max_prompt_bucket, temperature=temperature,
-            sampler=sampler, codec=True)
+            sampler=sampler, codec=True, transfer=transfer)
         if not getattr(self.engine, "has_codec", False):
             # A codec-less engine completes every request "successfully"
             # with zero-length audio — fail construction loudly instead.

@@ -387,3 +387,24 @@ def test_result_replay_callback_exception_does_not_strand_chunks():
     assert res._chunks.empty()                  # nothing stranded
     res._finish()
     assert events == ["chunk", "chunk", "none"]
+
+
+def test_int16_transfer_matches_float32_within_grid(model):
+    """transfer="int16" (device-side PCM16 chunk fetch) must deliver the
+    same float32 audio as transfer="float32" up to the 16-bit grid, with
+    identical tokens."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    p, m = _prompt(model.args, 5, seed=9)
+    outs = {}
+    for transfer in ("float32", "int16"):
+        eng = _engine(model, n_slots=1, codec=True, transfer=transfer)
+        res = eng.submit_prompt(p, m, max_frames=4)
+        eng.run_until_idle()
+        outs[transfer] = (res.token_matrix(), res.audio())
+    tok_mod.get_audio_tokenizer.cache_clear()
+    np.testing.assert_array_equal(outs["float32"][0], outs["int16"][0])
+    a, b = outs["float32"][1], outs["int16"][1]
+    assert a.shape == b.shape and b.dtype == np.float32
+    assert np.abs(np.clip(a, -1.0, 1.0) - b).max() <= 1.0 / 32767.0 + 1e-7
