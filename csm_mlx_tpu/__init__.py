@@ -57,7 +57,7 @@ __all__ = [
     "ContinuousEngine",
 ]
 
-__version__ = "0.2.1"
+__version__ = "0.2.3"
 
 
 def __getattr__(name):
