@@ -57,7 +57,7 @@ __all__ = [
     "ContinuousEngine",
 ]
 
-__version__ = "0.2.3"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):

@@ -114,6 +114,24 @@ class FasterWhisperASR:
                                   getattr(seg, "no_speech_prob", 0.0), words))
         return out
 
+    def language_detection(self, audio: np.ndarray) -> str:
+        """Detect the spoken language from (up to) the first 30 s and pin it.
+
+        Parity with the reference's ``FasterWhisperASR.language_detection``
+        (stt_processor.py:125-133), with its tuple-unpack bug fixed: the
+        reference assigns the whole ``(segments, info)`` return to ``info``,
+        so ``info.language`` raises; here the transcribe result is unpacked.
+        """
+        model = self._load()
+        segments, info = model.transcribe(audio[: SAMPLING_RATE * 30])
+        # The language probe is lazy until the generator is touched on some
+        # faster-whisper versions; info is populated eagerly, so no drain.
+        del segments
+        logger.info("Detected language: %s (p=%.2f)", info.language,
+                    getattr(info, "language_probability", float("nan")))
+        self.language = info.language
+        return info.language
+
 
 def _norm(word: str) -> str:
     return word.strip().lower().strip(".,!?;:\"'")

@@ -49,7 +49,12 @@ def _native() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     try:
-        if not os.path.exists(_NATIVE_SO) and os.path.exists(_NATIVE_SRC):
+        stale = (
+            os.path.exists(_NATIVE_SO)
+            and os.path.exists(_NATIVE_SRC)
+            and os.path.getmtime(_NATIVE_SRC) > os.path.getmtime(_NATIVE_SO)
+        )
+        if (stale or not os.path.exists(_NATIVE_SO)) and os.path.exists(_NATIVE_SRC):
             # Compile to a per-process temp name and atomically rename:
             # concurrent first-use across processes must never dlopen a
             # half-written .so (a truncated ELF usually raises, a mid-write

@@ -56,8 +56,9 @@ def test_native_library_loaded():
 def test_stereo_mixdown(tmp_path):
     """Native reader must mix multi-channel files to mono."""
     lib = _native()
-    if lib is None:
-        pytest.skip("native lib unavailable")
+    # No silent degradation: on Linux (CI/the image) the native module must
+    # have built — a stale or broken .so fails here instead of skipping.
+    assert lib is not None, "native audio module failed to build/load"
     import ctypes
 
     sr = 8000

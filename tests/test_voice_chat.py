@@ -770,3 +770,31 @@ def test_online_asr_frontier_adjacent_punct_commits_with_next_word():
     proc.process_iter()                          # extra pass: no duplicates
     record = [w for _, _, w in proc.committed]
     assert record == ["hello", ".", "world"]
+
+
+def test_language_detection_sets_and_returns_language():
+    """FasterWhisperASR.language_detection probes the first 30 s and pins
+    self.language (reference stt_processor.py:125-133, with the tuple-unpack
+    bug there fixed: transcribe returns (segments, info))."""
+    from csm_mlx_tpu.apps.stt import SAMPLING_RATE, FasterWhisperASR
+
+    class _Info:
+        language = "fr"
+        language_probability = 0.93
+
+    class _FakeModel:
+        def __init__(self):
+            self.seen_len = None
+
+        def transcribe(self, audio, **kw):
+            self.seen_len = len(audio)
+            return iter(()), _Info()
+
+    asr = FasterWhisperASR(language="en")
+    fake = _FakeModel()
+    asr._model = fake  # bypass the lazy faster-whisper load
+    audio = np.zeros(SAMPLING_RATE * 45, dtype=np.float32)
+    detected = asr.language_detection(audio)
+    assert detected == "fr"
+    assert asr.language == "fr"
+    assert fake.seen_len == SAMPLING_RATE * 30  # 30 s probe cap
