@@ -24,6 +24,7 @@ rolls targets by one frame for the KTO KL proxy (trainer.py:271-274).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -92,10 +93,23 @@ def compute_loss(
     emb = embed_tokens(params, args, tokens)
     backbone_input = (emb * masks[..., None].astype(emb.dtype)).sum(-2)[:, :-1]
     cos_b, sin_b = rope_cache_for(bcfg, s)
+    # Long sequences run the differentiable flash-attention kernels
+    # (ops/flash_train.py): no (B,H,S,S) fp32 logits in HBM in either pass —
+    # ~2 GB/layer saved at the reference's max window (S=2048, B=4). The
+    # dataset right-pads, so pure causal masking (in-kernel) is exact here.
+    # CSM_TPU_FLASH_TRAIN = minimum S to engage (0 disables). Pallas kernels
+    # don't partition under GSPMD, so an active activation-sharding mesh
+    # (TP training) keeps the einsum path.
+    from csm_mlx_tpu.ops.act_sharding import active_mesh
+
+    flash_min = int(os.environ.get("CSM_TPU_FLASH_TRAIN", "512"))
+    use_flash = (flash_min > 0 and (s - 1) >= flash_min
+                 and active_mesh() is None)
     hidden, _ = llama_forward(
         params["backbone"], bcfg, backbone_input, cos_b, sin_b,
-        jnp.arange(s - 1)[None], causal_mask_bias(s - 1, s - 1)[None, None],
-        None, remat=remat,
+        jnp.arange(s - 1)[None],
+        None if use_flash else causal_mask_bias(s - 1, s - 1)[None, None],
+        None, remat=remat, flash_train=use_flash,
     )  # (B, S-1, D)
 
     c0_logits = linear(params["codebook0_head"], hidden)

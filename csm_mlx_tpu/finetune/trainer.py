@@ -431,13 +431,21 @@ class CSMTrainer:
 
     # -- loss (overridden by DPO/KTO) -----------------------------------
     def _loss_fn(self, params, batch, rng):
+        from contextlib import nullcontext
+
+        from csm_mlx_tpu.ops.act_sharding import activation_sharding
         from csm_mlx_tpu.ops.layers import lora_dropout_rng
 
         drop_rng, loss_rng = jax.random.split(rng)
+        # With a mesh, pin activation shardings at trace time so the SPMD
+        # partitioner doesn't guess (it guesses its way into full
+        # rematerialization on the attention softmax otherwise).
+        act = (activation_sharding(self.args.mesh)
+               if self.args.mesh is not None else nullcontext())
         # LoRA dropout (param dicts carrying `lora_dropout`) is live only
         # inside this scope — inference and frozen-reference forwards stay
         # deterministic.
-        with lora_dropout_rng(drop_rng):
+        with act, lora_dropout_rng(drop_rng):
             return compute_loss(
                 params, self.model.args, batch,
                 first_codebook_weight_multiplier=

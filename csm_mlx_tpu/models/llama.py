@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from csm_mlx_tpu.config import LlamaConfig
+from csm_mlx_tpu.ops.act_sharding import constrain
 from csm_mlx_tpu.ops.attention import sdpa
 from csm_mlx_tpu.ops.kv_cache import KVCache
 from csm_mlx_tpu.ops.layers import linear, rms_norm, swiglu_mlp
@@ -142,6 +143,11 @@ def _attn_layer(
         k = linear(p["k_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
         v = linear(p["v_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
 
+    # TP: heads shard over "model", batch over "data" (no-op without a mesh).
+    q = constrain(q, "data", None, "model", None)
+    k = constrain(k, "data", None, "model", None)
+    v = constrain(v, "data", None, "model", None)
+
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
 
@@ -161,10 +167,21 @@ def _attn_layer(
         out = flash_prefill_sdpa(q, k[:, :, :s], v[:, :, :s],
                                  scale=cfg.head_dim ** -0.5,
                                  pad_len=flash_pad_len)
+    elif kwargs.get("flash_train"):
+        # Differentiable flash attention (training): custom-VJP Pallas
+        # kernels, no (B,H,S,S) logits in HBM forward OR backward. Only
+        # valid for a fresh causal sequence (no cache; the caller's mask is
+        # pure causal — asserted at the llama_forward boundary).
+        from csm_mlx_tpu.ops.flash_train import flash_attention
+
+        out = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5)
     else:
         out = sdpa(q, k, v, scale=cfg.head_dim ** -0.5, mask_bias=mask_bias)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, -1)
-    return linear(p["o_proj"], out), cache
+    # o_proj contracts the head-sharded dim -> XLA inserts the all-reduce;
+    # pin its input so the partitioner doesn't replicate the attention out.
+    out = constrain(out, "data", None, "model")
+    return constrain(linear(p["o_proj"], out), "data", None, None), cache
 
 
 def llama_forward(
@@ -178,6 +195,7 @@ def llama_forward(
     cache: Optional[KVCache] = None,
     remat: bool = False,
     flash_pad_len: Optional[jax.Array] = None,
+    flash_train: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the stack.
 
@@ -193,19 +211,27 @@ def llama_forward(
       flash_pad_len: (B,) left-pad lengths — when given, attention runs the
         Pallas flash-prefill kernel (causal + left-pad masking in-kernel)
         instead of the masked einsum path; requires a fresh cache (prefill).
+      flash_train: run the differentiable flash-attention kernels
+        (ops/flash_train.py) — training-only: requires no cache and a pure
+        causal mask (the caller passes mask_bias=None to make that explicit).
 
     Returns (hidden (B, S, D), cache').
     """
+    if flash_train and (cache is not None or mask_bias is not None):
+        raise ValueError(
+            "flash_train requires a fresh causal sequence: no cache, and "
+            "mask_bias must be None (the kernel applies causal masking "
+            "itself; any other mask would be silently ignored)")
 
     def one_layer(x, cache, lp, idx):
         attn_out, cache = _attn_layer(
             lp["self_attn"], cfg, rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps),
             cos, sin, positions, mask_bias, cache, idx,
-            flash_pad_len=flash_pad_len,
+            flash_pad_len=flash_pad_len, flash_train=flash_train,
         )
-        x = x + attn_out
+        x = constrain(x + attn_out, "data", None, None)
         h = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        x = x + swiglu_mlp(lp["mlp"], h)
+        x = constrain(x + swiglu_mlp(lp["mlp"], h), "data", None, None)
         return x, cache
 
     if remat:

@@ -155,7 +155,15 @@ def sdpa(
         else:
             bias = mask_bias
         logits = logits + bias
+    # TP: pin the softmax intermediates to the kv-head sharding — without
+    # this the GSPMD partitioner bounces the (B, n_kv, group, S, S) tensors
+    # between batch- and head-sharded layouts ("Involuntary full
+    # rematerialization" warnings). No-op without an activation mesh.
+    from csm_mlx_tpu.ops.act_sharding import constrain
+
+    logits = constrain(logits, "data", "model", None, None, None)
     probs = jax.nn.softmax(logits, axis=-1)
+    probs = constrain(probs, "data", "model", None, None, None)
     out = jnp.einsum(
         "bkgql,bkld->bkgqd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,

@@ -150,6 +150,8 @@ def swiglu_mlp(params: Dict[str, Params], x: jax.Array) -> jax.Array:
     as one wide matmul: decode-time matvecs pay a large fixed cost per call
     on TPU, so fewer/wider calls are strictly faster.
     """
+    from csm_mlx_tpu.ops.act_sharding import constrain
+
     if "gateup_proj" in params:
         gu = linear(params["gateup_proj"], x)
         f = gu.shape[-1] // 2
@@ -157,4 +159,7 @@ def swiglu_mlp(params: Dict[str, Params], x: jax.Array) -> jax.Array:
     else:
         gate = linear(params["gate_proj"], x)
         up = linear(params["up_proj"], x)
-    return linear(params["down_proj"], jax.nn.silu(gate) * up)
+    # TP: the MLP hidden dim is sharded over "model" (gate/up out-dim rules
+    # in parallel.mesh); pinning it keeps the silu*up elementwise ops local.
+    hidden = constrain(jax.nn.silu(gate) * up, "data", None, "model")
+    return linear(params["down_proj"], hidden)

@@ -1,0 +1,129 @@
+"""Differentiable flash attention: forward + gradient parity vs the
+masked-einsum sdpa (the training oracle path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csm_mlx_tpu.ops.attention import causal_mask_bias, sdpa
+from csm_mlx_tpu.ops.flash_train import flash_attention
+
+
+def _rand_qkv(key, b, n_heads, n_kv, s, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, n_heads, s, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, n_kv, s, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, n_kv, s, d), dtype=jnp.float32)
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
+
+
+@pytest.mark.parametrize("s", [128, 256, 200])  # 200: non-multiple of BLK
+def test_flash_forward_matches_sdpa(s):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, 4, 2, s, 16)
+    scale = 16 ** -0.5
+    ref = sdpa(q, k, v, scale, causal_mask_bias(s, s)[None, None])
+    out = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("s", [128, 200])
+def test_flash_grads_match_sdpa(s):
+    """dq/dk/dv from the custom VJP must match autodiff through the einsum
+    path under a realistic scalar loss."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 2, 4, 2, s, 16)
+    scale = 16 ** -0.5
+    w = jax.random.normal(jax.random.PRNGKey(2), (2, 4, s, 16))
+
+    def loss_ref(q, k, v):
+        out = sdpa(q, k, v, scale, causal_mask_bias(s, s)[None, None])
+        return jnp.sum(out * w) + jnp.sum(jnp.tanh(out))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, scale)
+        return jnp.sum(out * w) + jnp.sum(jnp.tanh(out))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_fl, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-5,
+            err_msg=f"d{name} mismatch at S={s}")
+
+
+def test_flash_grads_under_remat():
+    """jax.checkpoint composes with the custom VJP (the trainer remats every
+    layer)."""
+    s = 128
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 4, 2, s, 16)
+    scale = 16 ** -0.5
+
+    def loss(q, k, v):
+        f = jax.checkpoint(lambda a, b, c: flash_attention(a, b, c, scale))
+        return jnp.sum(f(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        out = sdpa(q, k, v, scale, causal_mask_bias(s, s)[None, None])
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
+
+
+def test_flash_bf16_inputs():
+    """bf16 q/k/v (the training dtype) run and stay close to the fp32 oracle."""
+    s = 128
+    qf, kf, vf = _rand_qkv(jax.random.PRNGKey(4), 1, 4, 2, s, 16)
+    scale = 16 ** -0.5
+    ref = sdpa(qf, kf, vf, scale, causal_mask_bias(s, s)[None, None])
+    out = flash_attention(qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
+                          vf.astype(jnp.bfloat16), scale)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=0.05, atol=0.05)
+
+
+def test_compute_loss_flash_wiring_matches_einsum(monkeypatch):
+    """compute_loss with the flash path engaged (threshold lowered via
+    CSM_TPU_FLASH_TRAIN) must match the einsum path in value and gradients."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import tiny_args
+    from csm_mlx_tpu.models.csm import init_csm_params
+    from csm_mlx_tpu.finetune.loss import compute_loss
+
+    args = tiny_args()
+    params = init_csm_params(jax.random.PRNGKey(5), args, dtype=jnp.float32)
+    params["audio_head"] = jax.random.normal(
+        jax.random.PRNGKey(6), params["audio_head"].shape) * 0.1
+
+    b, s = 2, 9  # s-1 = 8 rows through the backbone
+    rng = np.random.RandomState(0)
+    batch = {
+        "tokens": jnp.asarray(
+            rng.randint(0, args.n_audio_vocab, (b, s, args.n_audio_codebooks + 1)),
+            jnp.int32),
+        "masks": jnp.ones((b, s, args.n_audio_codebooks + 1), jnp.int32),
+        "loss_masks": jnp.ones((b, s, args.n_audio_codebooks + 1), jnp.int32),
+    }
+
+    def run():
+        f = jax.jit(jax.value_and_grad(lambda p: compute_loss(p, args, batch)))
+        return jax.block_until_ready(f(params))
+
+    monkeypatch.setenv("CSM_TPU_FLASH_TRAIN", "0")
+    loss_ref, g_ref = run()
+    monkeypatch.setenv("CSM_TPU_FLASH_TRAIN", "4")  # engage at S-1 >= 4
+    loss_fl, g_fl = run()
+
+    np.testing.assert_allclose(float(loss_fl), float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_fl = jax.tree_util.tree_leaves(g_fl)
+    for a, b_ in zip(flat_fl, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-5)
