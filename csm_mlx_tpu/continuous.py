@@ -103,28 +103,10 @@ def _build_continuous_fns(args, sampler, processors, cache_dtype, capacity,
 
     def step(params, frame, pad_len, cache, key, history, mimi_params,
              dec_state):
-        def body(carry, _):
-            frame, cache, key, history, dec_state = carry
-            chunk = ()
-            if mimi_cfg is not None:
-                from csm_mlx_tpu.models.mimi.mimi import mimi_decode_step_fn
+        frame_in = frame
 
-                # Decode-behind: the audio of the frame generated by the
-                # PREVIOUS iteration (or spliced in by admit). The chunk
-                # for the frame generated below arrives one iteration (or
-                # one block) later.
-                codes = frame[..., None].astype(jnp.int32)
-                chunk, dec_state = mimi_decode_step_fn(
-                    mimi_params, mimi_cfg, codes, dec_state)
-                chunk = chunk[:, 0, :]
-                if transfer == "int16":
-                    # Device-side PCM16: halves the per-block chunk fetch
-                    # through the tunnel (same trick as serve.py lockstep);
-                    # the host converts back so the float32 chunk contract
-                    # holds (values land on the 16-bit grid — lossless for
-                    # the PCM-emitting HTTP endpoints).
-                    chunk = (jnp.clip(chunk, -1.0, 1.0)
-                             * 32767.0).astype(jnp.int16)
+        def body(carry, _):
+            frame, cache, key, history = carry
             tokens, mask = _frame_to_next_input(frame)
             last_hidden, cache = _backbone_step(
                 params, args, tokens, mask, pad_len, cache, cos_b, sin_b)
@@ -132,13 +114,41 @@ def _build_continuous_fns(args, sampler, processors, cache_dtype, capacity,
                 params, args, last_hidden, key, history, sampler,
                 processors, cos_d, sin_d)
             eos = jnp.all(new_frame == 0, axis=1)
-            return ((new_frame, cache, key, history, dec_state),
-                    (new_frame, chunk, eos))
+            return ((new_frame, cache, key, history), (new_frame, eos))
 
-        carry = (frame, cache, key, history, dec_state)
-        carry, (frames, chunks, eoses) = jax.lax.scan(
+        carry = (frame, cache, key, history)
+        carry, (frames, eoses) = jax.lax.scan(
             body, carry, None, length=frames_per_step)
-        frame, cache, key, history, dec_state = carry
+        frame, cache, key, history = carry
+
+        chunks = ()
+        if mimi_cfg is not None:
+            from csm_mlx_tpu.models.mimi.mimi import mimi_decode_step_fn
+
+            # Decode-behind, batched: this block owes the audio of the
+            # carry frame that ENTERED it (generated by the previous
+            # block's last iteration, or spliced in by admit) plus this
+            # block's first K-1 frames — exactly the frames the old
+            # per-iteration loop decoded, but in ONE Mimi call over K
+            # frames (2K codec-transformer tokens, K*1920 samples):
+            # measured 25.2 -> ~8 ms per 48-slot block, the largest term
+            # of the serving-vs-compute gap (benchmarks/
+            # continuous_decompose.py). The generated frame of the block's
+            # LAST iteration decodes at the start of the next block.
+            owed = jnp.concatenate([frame_in[None], frames[:-1]], axis=0)
+            codes = owed.transpose(1, 2, 0).astype(jnp.int32)  # (B, n_cb, K)
+            audio, dec_state = mimi_decode_step_fn(
+                mimi_params, mimi_cfg, codes, dec_state)  # (B, 1, K*fs)
+            fs = audio.shape[-1] // frames_per_step
+            chunks = audio.reshape(-1, frames_per_step, fs).transpose(1, 0, 2)
+            if transfer == "int16":
+                # Device-side PCM16: halves the per-block chunk fetch
+                # through the tunnel (same trick as serve.py lockstep);
+                # the host converts back so the float32 chunk contract
+                # holds (values land on the 16-bit grid — lossless for
+                # the PCM-emitting HTTP endpoints).
+                chunks = (jnp.clip(chunks, -1.0, 1.0)
+                          * 32767.0).astype(jnp.int16)
         # frames: (K, B, n_cb); chunks: (K, B, frame_size) | (); eoses: (K, B)
         return (frame, cache, key, history, dec_state,
                 frames, chunks, eoses)
@@ -459,8 +469,13 @@ class ContinuousEngine:
         self._history = jnp.full((n_slots, HISTORY_SIZE), -1, jnp.int32)
         self._key = key if key is not None else jax.random.PRNGKey(
             np.random.randint(0, 2**31 - 1))
-        self._dec_state = (self._mimi.init_decode_state(n_slots)
-                          if self._mimi is not None else None)
+        # chunk_frames: the batched block decode feeds frames_per_step
+        # frames (2x tokens) per mimi_decode_step_fn call — the ring needs
+        # that much slack over the attention window.
+        self._dec_state = (
+            self._mimi.init_decode_state(
+                n_slots, chunk_frames=self.frames_per_step)
+            if self._mimi is not None else None)
 
         # Host mirrors + scheduler state -------------------------------
         self._idx = self._bootstrap          # mirror of cache.index

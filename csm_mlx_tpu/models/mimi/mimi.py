@@ -123,7 +123,13 @@ def mimi_decode_fn(params: Params, cfg: MimiConfig, codes: jax.Array) -> jax.Arr
 def mimi_decode_step_fn(
     params: Params, cfg: MimiConfig, codes: jax.Array, state: MimiDecodeState
 ) -> Tuple[jax.Array, MimiDecodeState]:
-    """One-frame incremental decode: (B, K, 1) -> (B, 1, frame_size)."""
+    """Incremental decode of F frames: (B, K, F) -> (B, 1, F*frame_size).
+
+    Every streaming primitive underneath is chunk-length generic, so F > 1
+    decodes a whole block in one call (fewer, wider matmuls/convs — the
+    continuous engine decodes its K-frame step block this way). F is
+    bounded by the decode state's ring slack (`init_decode_state`'s
+    chunk_frames)."""
     latent = split_rvq_decode(params["quantizer"], codes)  # (B, D, 1)
     latent, up_state = causal_conv_transpose1d_streaming(
         params["upsample"], latent, state.upsample,
@@ -259,9 +265,15 @@ class Mimi:
         return audio[:, :, : f * self.frame_size]
 
     # -- streaming ------------------------------------------------------
-    def init_decode_state(self, batch: int = 1) -> MimiDecodeState:
+    def init_decode_state(self, batch: int = 1,
+                          chunk_frames: int = 1) -> MimiDecodeState:
+        """`chunk_frames`: the largest number of frames a single
+        `mimi_decode_step_fn` call will decode with this state (each frame
+        is `downsample_stride` transformer tokens); sizes the ring slack."""
+        slack = max(8, self.cfg.downsample_stride * chunk_frames)
         return MimiDecodeState(
-            transformer=RingKVCache.init(self.cfg, batch, dtype=self.dtype),
+            transformer=RingKVCache.init(self.cfg, batch, dtype=self.dtype,
+                                         slack=slack),
             upsample=make_convtr_state(
                 self.cfg.hidden_size, 2 * self.cfg.downsample_stride,
                 self.cfg.downsample_stride, batch, self.dtype,

@@ -67,11 +67,14 @@ class RingKVCache:
     start: jax.Array
 
     @staticmethod
-    def init(cfg: MimiConfig, batch: int, dtype=jnp.float32) -> "RingKVCache":
+    def init(cfg: MimiConfig, batch: int, dtype=jnp.float32,
+             slack: int = 8) -> "RingKVCache":
         # Capacity exceeds the attention window so that writing a chunk of S
         # new tokens never evicts a slot an older query in the same chunk
         # still attends to (eviction is masked by absolute position anyway).
-        w = cfg.sliding_window + 8
+        # `slack` bounds the largest streamed chunk (transformer_forward
+        # raises past it) — block-decoding callers pass their block size.
+        w = cfg.sliding_window + slack
         shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, w,
                  cfg.head_dim)
         return RingKVCache(
