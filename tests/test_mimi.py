@@ -73,6 +73,33 @@ def test_decode_step_matches_batch(tiny_mimi):
     np.testing.assert_allclose(full, stream, rtol=1e-4, atol=1e-5)
 
 
+def test_decode_step_block_matches_per_frame(tiny_mimi):
+    """F>1 block decode (the continuous engine's batched step-block path)
+    must equal F sequential one-frame calls AND the batch decode — the
+    streaming primitives are chunk-length generic; the ring needs
+    chunk_frames slack (init_decode_state) to accept the wider write."""
+    f, block = 8, 4
+    codes = jnp.asarray(
+        np.random.RandomState(3).randint(0, TINY.codebook_size,
+                                         size=(2, TINY.num_quantizers, f)),
+        dtype=jnp.int32,
+    )
+    full = np.asarray(tiny_mimi.decode(codes))
+
+    state = tiny_mimi.init_decode_state(batch=2, chunk_frames=block)
+    chunks = []
+    for i in range(0, f, block):
+        chunk, state = tiny_mimi.decode_step(codes[:, :, i:i + block], state)
+        chunks.append(np.asarray(chunk))
+    stream = np.concatenate(chunks, axis=-1)
+    np.testing.assert_allclose(full, stream, rtol=1e-4, atol=1e-5)
+
+    # a block wider than the ring slack must fail loudly, not truncate
+    small = tiny_mimi.init_decode_state(batch=2, chunk_frames=1)
+    with pytest.raises(ValueError, match="ring slack"):
+        tiny_mimi.decode_step(codes, small)
+
+
 def test_encode_step_matches_batch(tiny_mimi):
     f = 6
     t = TINY.frame_size * f
