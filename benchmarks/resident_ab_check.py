@@ -1,12 +1,23 @@
-"""A/B check on TPU: resident-kernel generation vs dispatched-path tokens.
+"""A/B on TPU: resident-kernel vs dispatched-path free-running streams.
 
-Greedy decode over the same quantized weights: both paths run the same
-int8 dots with per-row dynamic activation quantization, so the sampled
-token streams should agree step-for-step (tiny fp differences can flip an
-argmax only on near-exact logit ties, which random weights make
-measure-zero). Prints per-frame agreement and the first mismatch if any.
+Reports stream-level agreement (first-divergence frame, token agreement,
+EOS/frame-count behavior) and the wall-time of both paths at each batch
+size. NOTE on expectations: the two paths are NOT bit-equal — the
+dispatched fallback runs the decoder at bf16 activations while the kernel
+runs f32, and the int8 activation requantization amplifies that into
+logit differences of a few % of the top-2 spread. On RANDOM weights
+(near-uniform logits) ~10% of greedy picks flip per step under identical
+prefixes, so free-running streams diverge within a few frames and
+CASCADE (a flipped token changes every later input) — total token
+agreement here is a wiring/meta check, not a numerics gate. The numerics
+gate is benchmarks/resident_divergence_probe.py, which teacher-forces the
+shared prefix and bounds the flip rate and the logit gap at flips.
+(Round 2 reported "100% agreement" at B<=8: that was trivially satisfied
+by the zero-initialized audio_head — codebooks 1..31 argmax to 0 on both
+paths — and only c0 was ever really compared.)
 
 Run: python benchmarks/resident_ab_check.py
+Env: AB_BATCHES=1,4,16,48 AB_SECONDS=4.0
 """
 
 import os
@@ -58,6 +69,14 @@ def main():
     from csm_mlx_tpu.ops.quant import quantize_model
 
     model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    # CSM init zeroes audio_head, which makes codebooks 1..31 argmax to 0 on
+    # BOTH paths — 31/32 of every frame would agree trivially. Randomize it
+    # so all 32 codebooks carry information into the comparison.
+    model.params["audio_head"] = (
+        jax.random.normal(jax.random.PRNGKey(7),
+                          model.params["audio_head"].shape)
+        * (model.args.decoder_dim ** -0.5)
+    ).astype(jnp.bfloat16)
     quantize_model(model, mode="w8a8")
 
     rng = np.random.RandomState(0)
@@ -67,29 +86,33 @@ def main():
     mask = np.zeros((s, 33), dtype=np.int32)
     mask[:, -1] = 1
 
-    # B<=8 keeps f32 KV in the kernel: near-exact parity expected. B=16
-    # stores KV in bf16 (VMEM budget), so individual argmax near-ties may
-    # flip — gate on aggregate agreement only. AB_BATCHES=1,4 skips the
-    # slow dispatched B=16 run.
     batches = tuple(int(x) for x in os.environ.get(
-        "AB_BATCHES", "1,4,16").split(","))
+        "AB_BATCHES", "1,4,16,48").split(","))
+    seconds = float(os.environ.get("AB_SECONDS", "4.0"))
     for batch in batches:
-        fr_res, n_res, t_res = run("1", model, prompt, mask, 0, batch=batch)
-        fr_dis, n_dis, t_dis = run("0", model, prompt, mask, 0, batch=batch)
+        fr_res, n_res, t_res = run("1", model, prompt, mask, 0,
+                                   seconds=seconds, batch=batch)
+        fr_dis, n_dis, t_dis = run("0", model, prompt, mask, 0,
+                                   seconds=seconds, batch=batch)
 
-        print(f"B={batch} resident: {n_res} frames in {t_res:.2f}s | "
-              f"dispatched: {n_dis} frames in {t_dis:.2f}s")
-        assert np.array_equal(n_res, n_dis), (n_res, n_dis)  # all rows
-        n = int(n_res.min())
+        print(f"B={batch} resident: {n_res.min()}..{n_res.max()} frames in "
+              f"{t_res:.2f}s | dispatched: {n_dis.min()}..{n_dis.max()} "
+              f"in {t_dis:.2f}s")
+        # wiring/meta gates: same shapes, same frame caps, rows all ran to
+        # their cap (random nonzero head => the all-zero EOS frame is
+        # measure-zero; a truncated row means broken EOS/frame plumbing)
+        assert fr_res.shape == fr_dis.shape, (fr_res.shape, fr_dis.shape)
+        assert n_res.min() == n_res.max() == n_dis.min() == n_dis.max(), (
+            n_res, n_dis)
+        n = int(min(n_res.min(), n_dis.min()))
         agree = (fr_res[:n] == fr_dis[:n])
-        total = float(agree.mean())
         per_frame = agree.reshape(n, -1).all(axis=1)
-        print(f"B={batch} token agreement: {total:.4%}; frames fully "
-              f"equal: {int(per_frame.sum())}/{n}")
-        if not per_frame.all():
-            f = int(np.argmin(per_frame))
-            print(f"first mismatch frame {f}")
-        assert total > (0.999 if batch <= 8 else 0.99), total
+        div = (int(np.argmin(per_frame)) if not per_frame.all() else None)
+        print(f"B={batch} [{n * agree.shape[1]} row-frames] token agreement "
+              f"{float(agree.mean()):.4%}; frames fully equal "
+              f"{int(per_frame.sum())}/{n}; first divergence frame: {div} "
+              f"(free-running streams cascade after the first fp flip — "
+              f"see resident_divergence_probe.py for the per-step gate)")
     print("OK")
 
 

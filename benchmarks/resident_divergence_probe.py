@@ -1,0 +1,240 @@
+"""Diagnose resident-vs-dispatched decoder divergence: near-ties or bug?
+
+resident_ab_check with a RANDOM audio_head shows the two paths' token
+streams diverge (round 2's "100% parity" at B<=8 was trivially satisfied:
+a zero-initialized audio_head makes codebooks 1..31 argmax to 0 on both
+paths, so only c0 was ever compared). Divergence per se is expected — the
+dispatched decoder runs bf16 activations (`llama_forward` at
+last_hidden.dtype) while the kernel runs f32, so logits differ at bf16
+rounding scale and argmax near-ties flip. This probe distinguishes that
+benign fp divergence from a REAL kernel bug (e.g. a wrong audio_head
+slice or embed-table row):
+
+For each of N random frames (fresh backbone hidden, shared c0):
+  1. run the resident kernel -> tokens r_1..r_31
+  2. TEACHER-FORCE the dispatched decoder over the SAME prefix (feed r_i
+     as the sampled token) and record its full logits at every step
+  3. at each step, compare the dispatched argmax d_i with r_i; when they
+     differ, measure gap = logits[d_i] - logits[r_i] relative to the
+     step's top1-top2 spread.
+
+Near-ties: flips at a few % of steps, gaps ~ bf16 epsilon of the logit
+scale (gap/spread << 1). Indexing bug: flips ~always at the affected
+steps with gap/spread ~ 1 (the kernel's token ranks arbitrarily).
+
+Run on TPU: python benchmarks/resident_divergence_probe.py
+Env: PROBE_FRAMES=64 PROBE_BATCHES=1,16
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+FRAMES = int(os.environ.get("PROBE_FRAMES", "64"))
+BATCHES = tuple(int(x) for x in os.environ.get(
+    "PROBE_BATCHES", "1,16").split(","))
+# PROBE_F32=1: run the teacher-forced dispatched decoder with f32
+# activations/KV (the kernel's precision) instead of the production bf16 —
+# isolates how much of the divergence is the fallback's bf16 activations.
+F32 = os.environ.get("PROBE_F32", "0") == "1"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+
+    from csm_mlx_tpu.generation import causal_mask_bias, embed_audio
+    from csm_mlx_tpu.models.csm import CSM, csm_1b
+    from csm_mlx_tpu.models.llama import llama_forward
+    from csm_mlx_tpu.ops.kv_cache import KVCache
+    from csm_mlx_tpu.ops.layers import emb_table, linear
+    from csm_mlx_tpu.ops.quant import audio_head_logits, quantize_model
+    from csm_mlx_tpu.ops.resident_decoder import resident_decode_frame
+    from csm_mlx_tpu.ops.rope import rope_cache_for
+
+    model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+    model.params["audio_head"] = (
+        jax.random.normal(jax.random.PRNGKey(7),
+                          model.params["audio_head"].shape)
+        * (model.args.decoder_dim ** -0.5)
+    ).astype(jnp.bfloat16)
+    quantize_model(model, mode="w8a8")
+    params = model.params
+    args = model.args
+    dcfg = args.decoder_config
+    n_cb = args.n_audio_codebooks
+    v = args.n_audio_vocab
+    cos_d, sin_d = rope_cache_for(dcfg, n_cb + 1)
+
+    def frame_pair(params, key, b):
+        """One frame both ways. Returns (res_tokens (30, b) for cb 2..31,
+        logits (30, b, V) of the teacher-forced dispatched run,
+        c1_res (b,), c1_logits (b, V))."""
+        kh, kc, ks = jax.random.split(key, 3)
+        last_hidden = (jax.random.normal(kh, (b, args.backbone_dim))
+                       .astype(jnp.bfloat16))
+        c0 = jax.random.randint(kc, (b,), 0, v)
+
+        c0_emb = embed_audio(params, args, 0, c0).astype(last_hidden.dtype)
+        x01 = jnp.stack([last_hidden, c0_emb], axis=1)
+        proj01 = linear(params["projection"], x01)
+
+        # --- resident kernel ------------------------------------------
+        seed = jax.random.randint(ks, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        toks = resident_decode_frame(
+            params["_resident"], args, proj01.transpose(1, 0, 2), seed,
+            0.0)  # (n_cb, b); row 0 zeros, rows 1.. = codebooks
+        res = toks[1:]  # (31, b)
+
+        # --- teacher-forced dispatched run over the kernel's tokens ----
+        act_dtype = jnp.float32 if F32 else last_hidden.dtype
+        proj01 = proj01.astype(act_dtype)
+        dcache = KVCache.init(dcfg, b, n_cb + 1, dtype=act_dtype)
+        cap = n_cb + 1
+
+        def dec_bias(q_len, index):
+            return causal_mask_bias(q_len, cap, q_offset=index)[None, None]
+
+        hidden01, dcache = llama_forward(
+            params["decoder"], dcfg, proj01, cos_d, sin_d,
+            jnp.arange(2, dtype=jnp.int32)[None], dec_bias(2, 0), dcache)
+        c1_logits = audio_head_logits(params["audio_head"], 0,
+                                      hidden01[:, -1], v)
+
+        def body(carry, xs):
+            dcache = carry
+            i, forced_prev = xs  # token the KERNEL sampled at step i-1
+            emb = emb_table(params["audio_embeddings"])[
+                forced_prev + (i - 1) * v].astype(act_dtype)
+            x = linear(params["projection"], emb[:, None, :])
+            positions = dcache.index.reshape(1, 1)
+            hidden, dcache = llama_forward(
+                params["decoder"], dcfg, x, cos_d, sin_d, positions,
+                dec_bias(1, dcache.index), dcache)
+            logits = audio_head_logits(params["audio_head"], i - 1,
+                                       hidden[:, 0], v)
+            return dcache, logits
+
+        idx = jnp.arange(2, n_cb, dtype=jnp.int32)
+        _, logits = jax.lax.scan(body, dcache, (idx, res[:-1]))
+        return res, logits, c1_logits
+
+    for b in BATCHES:
+        fp = jax.jit(frame_pair, static_argnums=2)
+        flips = 0
+        steps = 0
+        gaps, spreads = [], []
+        per_step = np.zeros((n_cb - 1,), np.int64)  # flips by codebook slot
+        for fi in range(max(1, FRAMES // b)):
+            res, logits, c1_logits = jax.device_get(
+                fp(params, jax.random.PRNGKey(100 + fi), b))
+            # steps 1..31: step 1 logits from the shared prime, 2..31 forced
+            all_logits = np.concatenate([c1_logits[None], logits], axis=0)
+            res = np.asarray(res)  # (31, b) kernel tokens for cb 1..31
+            srt = np.sort(all_logits, axis=-1)
+            top1, top2 = srt[..., -1], srt[..., -2]
+            d_tok = np.argmax(all_logits, axis=-1)  # (31, b)
+            r_val = np.take_along_axis(
+                all_logits, res[..., None], axis=-1)[..., 0]
+            flip = d_tok != res
+            flips += int(flip.sum())
+            steps += flip.size
+            per_step += flip.sum(axis=1)
+            spreads.append((top1 - top2).ravel())
+            if flip.any():
+                gaps.append((top1[flip] - r_val[flip]).ravel())
+        gaps = (np.concatenate(gaps) if gaps
+                else np.zeros((0,), np.float32))
+        spreads = np.concatenate(spreads)
+        med_spread = float(np.median(spreads))
+        n_frames = steps // (n_cb - 1)
+        report = {
+            "metric": "resident_teacher_forced_divergence",
+            "batch": b,
+            "steps": steps,
+            "flips": flips,
+            "flip_rate": round(flips / steps, 5),
+            "median_top2_spread": round(med_spread, 4),
+            "flip_gap_p50": (round(float(np.percentile(gaps, 50)), 5)
+                             if gaps.size else None),
+            "flip_gap_max": (round(float(gaps.max()), 5)
+                             if gaps.size else None),
+            "flip_gap_max_over_spread": (
+                round(float(gaps.max()) / med_spread, 4)
+                if gaps.size else None),
+            # per-codebook-slot flip counts: an indexing bug (wrong
+            # audio_head slice / embed row) concentrates ~n_frames flips on
+            # its slots; fp near-ties spread evenly
+            "per_step_flip_max": int(per_step.max()),
+            "per_step_flip_mean": round(float(per_step.mean()), 2),
+            "frames": n_frames,
+            "kv_dtype": "f32" if b <= 8 else "bf16",
+        }
+        print(json.dumps(report))
+        # Regression gates (random weights => near-uniform logits; a real
+        # kernel bug trips these by an order of magnitude):
+        assert report["flip_rate"] < 0.25, report
+        if gaps.size:
+            assert report["flip_gap_max_over_spread"] < 4.0, report
+        assert per_step.max() < 0.6 * n_frames, report
+
+    # ---- kernel-vs-kernel: does bf16 KV (b>8) change the tokens? --------
+    # Same 48 rows decoded (a) in one b=48 call (bf16 KV + bf16 rot) and
+    # (b) as 48 independent b=1 calls (f32 KV) — rows are independent in
+    # the kernel (block-diagonal attention), so any disagreement is purely
+    # the b>8 VMEM-economy precision (VERDICT r2 item 2).
+    bb = 48
+
+    def kernel_pair(params, key):
+        kh, kc = jax.random.split(key)
+        last_hidden = (jax.random.normal(kh, (bb, args.backbone_dim))
+                       .astype(jnp.bfloat16))
+        c0 = jax.random.randint(kc, (bb,), 0, v)
+        c0_emb = embed_audio(params, args, 0, c0).astype(last_hidden.dtype)
+        x01 = jnp.stack([last_hidden, c0_emb], axis=1)
+        proj01 = linear(params["projection"], x01).transpose(1, 0, 2)
+        seed = jnp.zeros((1,), jnp.int32)  # greedy: PRNG unused
+        wide = resident_decode_frame(
+            params["_resident"], args, proj01, seed, 0.0)  # (n_cb, 48)
+
+        def one(carry, col):
+            t = resident_decode_frame(
+                params["_resident"], args, col[:, None, :], seed, 0.0)
+            return carry, t[:, 0]
+
+        _, narrow = jax.lax.scan(one, 0, proj01.transpose(1, 0, 2))
+        return wide[1:], narrow.transpose(1, 0)[1:]  # (31, 48) each
+
+    kp = jax.jit(kernel_pair)
+    rows = flips_kv = steps_kv = 0
+    rows_equal = 0
+    for fi in range(max(1, FRAMES * 4 // bb)):
+        wide, narrow = jax.device_get(kp(params, jax.random.PRNGKey(500 + fi)))
+        neq = wide != narrow
+        flips_kv += int(neq.sum())
+        steps_kv += neq.size
+        rows += bb
+        rows_equal += int((~neq.any(axis=0)).sum())
+    print(json.dumps({
+        "metric": "resident_kernel_bf16kv_divergence",
+        "wide_batch": bb,
+        "rows": rows,
+        "rows_fully_equal": rows_equal,
+        "token_flips": flips_kv,
+        "token_steps": steps_kv,
+        "flip_rate": round(flips_kv / steps_kv, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

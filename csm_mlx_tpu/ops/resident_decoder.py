@@ -27,8 +27,13 @@ generation at batch <= CSM_TPU_RESIDENT_MAX_BATCH (attention is one
 block-diagonal matmul over the batch-flattened KV, so the Mosaic program
 size no longer grows with b); `CSM_TPU_RESIDENT_DECODER=0` disables it.
 Batches past 8 trade the KV scratch to bf16 to stay inside VMEM (weights
-keep bit-parity; per-row tokens can differ from the B=1 stream in rare
-argmax near-ties).
+keep bit-parity). Measured cost of that economy
+(benchmarks/resident_divergence_probe.py, kernel-vs-kernel on random
+weights): ~0.35% of greedy picks per step flip vs the B=1 f32-KV stream
+(214/240 rows bit-identical over whole frames) — 25x smaller than the
+inherent resident-vs-dispatched fp divergence (~9%/step on random
+weights; int8 requantization amplifies ULP-level arithmetic differences,
+see PERFORMANCE.md "Resident-vs-dispatched numerics").
 
 Codebook 0 stays outside (it is sampled from the backbone hidden state
 with the full sampler/logits-processor chain, generation.py:42-54); the
