@@ -8,6 +8,10 @@ configuration (48 slots, frames_per_step=8, W8A8 + resident kernel):
 
   gen        step block WITHOUT codec (pure generation compute)
   gen+mimi   step block with the fused Mimi decode (codec cost = this - gen)
+  mimi-only  JUST the step's Mimi tail (transpose + K-frame block decode +
+             int16), its own jitted program dispatched per block — isolates
+             whether the in-step codec cost is co-residence with the
+             generation program or the block decode's own price
   +fetch     gen+mimi + per-block device_get of (frames, chunks, eos) through
              the tunnel at pipeline depth 2 (transfer cost = this - gen+mimi)
   engine     the real ContinuousEngine driven saturated (host scheduling
@@ -135,6 +139,34 @@ def main():
             jax.device_get(out)
         return time.perf_counter() - t0
 
+    import functools
+
+    from csm_mlx_tpu.models.mimi.mimi import mimi_decode_step_fn
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def mimi_tail(mimi_params, owed, dec):
+        # exactly the step()'s codec tail: (K, B, n_cb) frames -> int16 chunks
+        codes = owed.transpose(1, 2, 0).astype(jnp.int32)
+        audio, dec = mimi_decode_step_fn(mimi_params, mimi.cfg, codes, dec)
+        fs = audio.shape[-1] // K
+        chunks = audio.reshape(-1, K, fs).transpose(1, 0, 2)
+        if TRANSFER == "int16":
+            chunks = (jnp.clip(chunks, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        return chunks, dec
+
+    def run_mimi_only():
+        rngl = np.random.RandomState(7)
+        owed = [jnp.asarray(rngl.randint(
+            0, 2048, (K, SLOTS, args.n_audio_codebooks)), jnp.int32)
+            for _ in range(BLOCKS)]
+        dec = mimi.init_decode_state(SLOTS, chunk_frames=K)
+        t0 = time.perf_counter()
+        out = None
+        for b in range(BLOCKS):
+            out, dec = mimi_tail(mimi.params, owed[b], dec)
+        jax.device_get(out)
+        return time.perf_counter() - t0
+
     def run_engine(eng, prompts):
         # Saturate all slots with equal-length requests; the admission burst
         # happens once, then pure stepping. Timed region covers everything
@@ -164,11 +196,12 @@ def main():
 
     # --- warmup every arm (compiles; also the one-time first-exec cost) --
     print("# warmup...", file=sys.stderr, flush=True)
-    run_gen(); run_mimi(False); run_mimi(True)
+    run_gen(); run_mimi(False); run_mimi_only(); run_mimi(True)
     run_engine(eng, prompts)
 
     arms = {"gen": lambda: run_gen(),
             "gen+mimi": lambda: run_mimi(False),
+            "mimi-only": run_mimi_only,
             "+fetch": lambda: run_mimi(True)}
     best = {name: float("inf") for name in arms}
     best["engine"] = float("inf")
@@ -200,6 +233,7 @@ def main():
         "phase_ms": {
             "generation": round(ms["gen"], 2),
             "mimi_decode": round(ms["gen+mimi"] - ms["gen"], 2),
+            "mimi_standalone": round(ms["mimi-only"], 2),
             "transfer": round(ms["+fetch"] - ms["gen+mimi"], 2),
             "host_sched": round(ms["engine"] - ms["+fetch"], 2),
         },
