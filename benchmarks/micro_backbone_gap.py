@@ -21,7 +21,9 @@ other ~1.7 ms goes, every arm chained inside ONE long jit program:
            bench.py times; loop - frame = while/cond/DUS overhead
 
 Run on TPU: python benchmarks/micro_backbone_gap.py [arm ...]
-Env: GAP_REPS=64 (shapes/fused), GAP_STEP_REPS=256 (step/frame/loop)
+Env: GAP_REPS=64 (shapes/fused), GAP_STEP_REPS=256 (step/frame/loop),
+GAP_B=1 (batch rows for step/frame/dec — GAP_B=48 splits the continuous
+engine's gen phase into its backbone and resident-decoder terms)
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ import numpy as np
 
 REPS = int(os.environ.get("GAP_REPS", "64"))
 STEP_REPS = int(os.environ.get("GAP_STEP_REPS", "256"))
+GAP_B = int(os.environ.get("GAP_B", "1"))
 
 LAYER_SHAPES = [(3072, 2048), (2048, 2048), (16384, 2048), (2048, 8192)]
 N_LAYERS = 16
@@ -75,7 +78,7 @@ def _w8a8_chain(shapes_calls):
             np.random.RandomState(i).randint(-127, 127, (n, k)), jnp.int8))
         ss.append(jnp.ones((n, 1), jnp.float32))
         zs.append(jnp.zeros((n, 1), jnp.float32))
-    xs_pool = {k: jax.random.normal(jax.random.PRNGKey(k), (16, k),
+    xs_pool = {k: jax.random.normal(jax.random.PRNGKey(k), (16, GAP_B, k),
                                     jnp.float32).astype(jnp.bfloat16)
                for k in {k for _n, k in shapes_calls}}
 
@@ -83,7 +86,7 @@ def _w8a8_chain(shapes_calls):
         def body(r, acc):
             for w, s, z in zip(ws, ss, zs):
                 x = jax.lax.dynamic_index_in_dim(
-                    xs_pool[w.shape[1]], r % 16, keepdims=True)
+                    xs_pool[w.shape[1]], r % 16, keepdims=False)
                 y = q._pallas_quant_matvec_w8a8(
                     x, w, s, z, bits=8, group_size=w.shape[1])
                 acc += jnp.sum(y.astype(jnp.float32))
@@ -108,7 +111,7 @@ def main():
         c, r = _time(f, *args)
         report("fused", c, r, bpr * REPS, ("step", REPS))
 
-    if not ({"step", "frame", "dec", "loop"} & set(want)):
+    if not ({"step", "frame", "dec", "loop", "embeds", "attn"} & set(want)):
         return
 
     import dataclasses
@@ -129,20 +132,80 @@ def main():
     args_m = model.args
     bcfg = args_m.backbone_config
     dcfg = args_m.decoder_config
-    capacity = 640
+    capacity = int(os.environ.get("GAP_CAP", "640"))
     cos_b, sin_b = rope_cache_for(bcfg, max(
         capacity, bcfg.max_position_embeddings))
     cos_d, sin_d = rope_cache_for(dcfg, args_m.n_audio_codebooks + 1)
     smp = SamplerConfig(temperature=0.0)
-    cache = KVCache.init(bcfg, 1, capacity, dtype=jnp.bfloat16)
+    cache = KVCache.init(bcfg, GAP_B, capacity, dtype=jnp.bfloat16)
     cache = dataclasses.replace(cache, index=jnp.asarray(64, jnp.int32))
-    pad = jnp.zeros((1,), jnp.int32)
+    pad = jnp.zeros((GAP_B,), jnp.int32)
     bytes_per_step = LAYER_BYTES * N_LAYERS  # whole backbone per step
+
+    if "embeds" in want:
+        from csm_mlx_tpu.models.csm import masked_input_embeds
+
+        def f(params):
+            frame0 = jnp.ones((GAP_B, 1, args_m.n_audio_codebooks + 1),
+                              jnp.int32)
+            mask0 = jnp.ones_like(frame0)
+
+            def body(carry, _):
+                toks = carry
+                h = masked_input_embeds(params, args_m, toks, mask0)
+                toks = (toks + h[:, :, :33].astype(jnp.int32) % 3) % 2051
+                return toks, h[0, 0, 0]
+
+            _t, hs = jax.lax.scan(f=body, init=frame0, xs=None,
+                                  length=STEP_REPS)
+            return jnp.sum(hs)
+
+        c, r = _time(f, model.params)
+        report("embeds", c, r, GAP_B * 33 * 2048 * 2 * STEP_REPS,
+               ("step", STEP_REPS))
+
+    if "attn" in want:
+        # 16 layers of (KV DUS append + masked-einsum sdpa over capacity),
+        # chained — the attention machinery alone, no projections/MLP.
+        from csm_mlx_tpu.ops.attention import key_validity_bias, sdpa
+
+        nh, nkv, hd = (bcfg.num_attention_heads, bcfg.num_key_value_heads,
+                       bcfg.head_dim)
+
+        def f(cache):
+            q0 = jax.random.normal(jax.random.PRNGKey(2),
+                                   (GAP_B, nh, 1, hd), jnp.bfloat16)
+            k_idx = jnp.arange(capacity, dtype=jnp.int32)
+
+            def body(carry, _):
+                q, cache = carry
+                key_valid = (k_idx[None] >= pad[:, None]) & (
+                    k_idx[None] <= cache.index)
+                bias = key_validity_bias(key_valid)[:, None]
+                outs = q
+                for li in range(N_LAYERS):
+                    kn = outs[:, :nkv] * 0.1
+                    vn = outs[:, :nkv] * 0.2
+                    cache2, kk, vv = cache.update_layer(li, kn, vn)
+                    cache = cache2
+                    outs = sdpa(q, kk, vv, scale=hd ** -0.5, mask_bias=bias)
+                cache = cache.advance(1)
+                q = q + 1e-6 * outs
+                return (q, cache), outs[0, 0, 0, 0]
+
+            (_q, cache), hs = jax.lax.scan(
+                body, (q0, cache), None, length=STEP_REPS)
+            return jnp.sum(hs)
+
+        kv_bytes = N_LAYERS * 2 * GAP_B * capacity * \
+            (bcfg.num_key_value_heads * bcfg.head_dim) * 2
+        c, r = _time(f, cache)
+        report("attn", c, r, kv_bytes * STEP_REPS, ("step", STEP_REPS))
 
     if "step" in want:
 
         def f(params, cache):
-            frame0 = jnp.ones((1, args_m.n_audio_codebooks), jnp.int32)
+            frame0 = jnp.ones((GAP_B, args_m.n_audio_codebooks), jnp.int32)
 
             def body(carry, _):
                 frame, cache = carry
@@ -164,8 +227,8 @@ def main():
     if "frame" in want:
 
         def f(params, cache, key):
-            frame0 = jnp.ones((1, args_m.n_audio_codebooks), jnp.int32)
-            hist0 = jnp.full((1, HISTORY_SIZE), -1, jnp.int32)
+            frame0 = jnp.ones((GAP_B, args_m.n_audio_codebooks), jnp.int32)
+            hist0 = jnp.full((GAP_B, HISTORY_SIZE), -1, jnp.int32)
 
             def body(carry, _):
                 frame, cache, key, history = carry
@@ -187,10 +250,11 @@ def main():
     if "dec" in want:
 
         def f(params, key):
-            frame0 = jnp.ones((1, args_m.n_audio_codebooks), jnp.int32)
-            hist0 = jnp.full((1, HISTORY_SIZE), -1, jnp.int32)
+            frame0 = jnp.ones((GAP_B, args_m.n_audio_codebooks), jnp.int32)
+            hist0 = jnp.full((GAP_B, HISTORY_SIZE), -1, jnp.int32)
             hidden0 = jax.random.normal(jax.random.PRNGKey(9),
-                                        (1, bcfg.hidden_size), jnp.bfloat16)
+                                        (GAP_B, bcfg.hidden_size),
+                                        jnp.bfloat16)
 
             def body(carry, _):
                 frame, key, history = carry

@@ -69,6 +69,7 @@ from csm_mlx_tpu.generation import (
     _resolve_sampler,
 )
 from csm_mlx_tpu.models.csm import CSM
+from csm_mlx_tpu.ops.attention import kv_bucket_for, kv_prefix_buckets
 from csm_mlx_tpu.ops.kv_cache import KVCache
 from csm_mlx_tpu.ops.rope import rope_cache_for
 
@@ -218,6 +219,10 @@ def _build_continuous_fns(args, sampler, processors, cache_dtype, capacity,
         pad_len = jnp.minimum(pad_len - shift, index - 1)
         return dataclasses.replace(cache, k=k, v=v, index=index), pad_len
 
+    # Every program here is shape-polymorphic over the cache capacity: the
+    # engine sizes the cache BUFFER to a KV bucket and jit re-specializes
+    # per bucket (ops/attention.py::kv_prefix_buckets — at B=48 the full
+    # 1890-capacity buffer cost ~3 GB/step of dead-tail attention reads).
     step_j = jax.jit(step, donate_argnums=(1, 3, 4, 5, 7))
     admit_j = jax.jit(admit, donate_argnums=(5, 6, 7, 8, 9, 10))
     rebase_j = jax.jit(rebase, donate_argnums=(0, 1))
@@ -387,6 +392,7 @@ class ContinuousStats:
     steps: int = 0
     admissions: int = 0
     rebases: int = 0
+    cache_resizes: int = 0  # KV-bucket grow/shrink copies
     completed: int = 0
     frames_emitted: int = 0
     frames_wasted: int = 0  # dead-slot frames computed and discarded
@@ -459,8 +465,19 @@ class ContinuousEngine:
             mimi_cfg, self.frames_per_step, transfer)
 
         # Device carry -------------------------------------------------
+        # The cache BUFFER is sized to a KV bucket, not to self.capacity:
+        # every step reads the whole static buffer (attention over all
+        # slots), so at B=48 a full 1890-capacity cache costs ~3 GB/step
+        # of dead-tail HBM reads. The buffer grows bucket-by-bucket as the
+        # index climbs (jit re-specializes per shape) and eager rebases
+        # shrink it back (ops/attention.py::kv_prefix_buckets;
+        # benchmarks/kv_buckets_ab.py for why in-program prefix slicing
+        # loses instead).
         dtype = jnp.dtype(_dtype_name(model.dtype))
-        cache = KVCache.init(args.backbone_config, n_slots, self.capacity,
+        self._kv_buckets = kv_prefix_buckets(self.capacity)
+        cap0 = (kv_bucket_for(self._bootstrap + self.frames_per_step,
+                              self._kv_buckets) or self.capacity)
+        cache = KVCache.init(args.backbone_config, n_slots, cap0,
                              dtype=dtype)
         self._cache = dataclasses.replace(
             cache, index=jnp.asarray(self._bootstrap, jnp.int32))
@@ -591,8 +608,31 @@ class ContinuousEngine:
              (f0, eos0)))
         self.stats.admissions += n_real
 
+    def _resize_cache(self, new_cap: int) -> None:
+        """Re-buffer the KV cache at `new_cap` positions (grow: zero-pad the
+        tail; shrink: drop the dead tail — callers guarantee every valid
+        key lives below new_cap). One device copy per bucket crossing;
+        every jitted program re-specializes on the new shape."""
+        old = self._cache
+        delta = new_cap - old.capacity
+        if delta == 0:
+            return
+        if delta > 0:
+            pad = ((0, 0), (0, 0), (0, 0), (0, delta), (0, 0))
+            k5, v5 = jnp.pad(old.k, pad), jnp.pad(old.v, pad)
+        else:
+            k5, v5 = old.k[:, :, :, :new_cap], old.v[:, :, :, :new_cap]
+        self._cache = dataclasses.replace(old, k=k5, v=v5)
+        self.stats.cache_resizes += 1
+
     def _dispatch_step(self) -> None:
         k = self.frames_per_step
+        # Grow the cache buffer to the bucket covering this block's last
+        # write (one pad copy per crossing; jit re-specializes per shape).
+        if self._idx + k > self._cache.capacity:
+            self._resize_cache(kv_bucket_for(self._idx + k,
+                                             self._kv_buckets)
+                               or self.capacity)
         prov = [(s.prov_req, s.prov_seq) for s in self._slots]
         outs = self._step(
             self.model.params, self._frame, self._pad, self._cache,
@@ -615,6 +655,11 @@ class ContinuousEngine:
     # of the ring window, so slots are invariant) long before rotary-phase
     # precision could matter. 2^18 frames ≈ 5.8 h of audio per trigger.
     _MIMI_REBASE_AT = 1 << 18
+    # Bucketed-cache policy: rebase once >=256 positions of shift are
+    # available (amortizes the roll over >=32 blocks at K=8) and keep
+    # half a bucket step of slack before shrinking the buffer.
+    _EAGER_REBASE_SHIFT = 256
+    _SHRINK_HYSTERESIS = 128
 
     def _maybe_rebase(self) -> None:
         if self._mimi is not None:
@@ -634,13 +679,23 @@ class ContinuousEngine:
                     self._dec_state = self._mimi_rebase(
                         self._dec_state, jnp.asarray(shift, jnp.int32))
                     self._mimi_rebased += shift
-        if self._idx + self.frames_per_step < self.capacity:
-            return
+        at_max = self._idx + self.frames_per_step >= self.capacity
         live = [self._pads[i] for i, s in enumerate(self._slots)
                 if s.req is not None]
         low = min(live) if live else self._idx
         shift = min(low, self._idx - self._bootstrap)
-        if shift <= 0 or self._idx - shift + self.frames_per_step >= self.capacity:
+        # Eager rebase (bucketed-cache mode): compact as soon as a useful
+        # shift opens up, so the index — and with it the bucket every step
+        # block pays attention reads over — stays near the live window
+        # instead of climbing to max capacity between rare forced rebases.
+        # The roll costs one pass over the (small) current bucket, amortized
+        # over the >= EAGER_SHIFT/frames_per_step blocks that accrued it.
+        eager = (bool(self._kv_buckets)
+                 and shift >= self._EAGER_REBASE_SHIFT)
+        if not (at_max or eager):
+            return
+        if at_max and (shift <= 0 or self._idx - shift +
+                       self.frames_per_step >= self.capacity):
             # An insufficient shift must raise, not proceed: cache writes at
             # index >= capacity clamp to the last slot and silently corrupt
             # every live row's newest KV.
@@ -652,6 +707,15 @@ class ContinuousEngine:
         self._idx -= shift
         self._pads = [max(p - shift, 0) for p in self._pads]
         self.stats.rebases += 1
+        if self._kv_buckets:
+            # Shrink the buffer back to the covering bucket, with one
+            # bucket-step of hysteresis so an index oscillating around an
+            # edge doesn't thrash grow/shrink copies.
+            want = (kv_bucket_for(
+                self._idx + self.frames_per_step + self._SHRINK_HYSTERESIS,
+                self._kv_buckets) or self.capacity)
+            if want < self._cache.capacity:
+                self._resize_cache(want)
 
     def _fetch_one(self) -> None:
         kind, payload, outputs = self._inflight.popleft()

@@ -111,9 +111,15 @@ def _prefill(
 
 
 def _backbone_step(
-    params, args: ModelArgs, tokens, token_mask, pad_len, cache: KVCache, cos_b, sin_b
+    params, args: ModelArgs, tokens, token_mask, pad_len, cache: KVCache,
+    cos_b, sin_b,
 ):
-    """One-frame backbone decode step. tokens: (B, 1, 33)."""
+    """One-frame backbone decode step. tokens: (B, 1, 33).
+
+    The per-step cost scales with cache.capacity (attention reads the whole
+    static buffer); large-capacity dispatchers bucket the cache buffer
+    itself (ops/attention.py::kv_prefix_buckets, continuous.py).
+    """
     bcfg = args.backbone_config
     capacity = cache.capacity
     embeds = masked_input_embeds(params, args, tokens, token_mask)
@@ -124,7 +130,8 @@ def _backbone_step(
     )
     mask_bias = key_validity_bias(key_valid)[:, None]
     hidden, cache = llama_forward(
-        params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias, cache
+        params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias,
+        cache,
     )
     return hidden[:, -1, :], cache
 

@@ -176,6 +176,13 @@ def _attn_layer(
 
         out = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5)
     else:
+        # NOTE on large caches: reading only a prefix of k/v here — whether
+        # via lax.switch over buckets or a static slice — measured SLOWER
+        # than the full read (XLA materializes per-layer copies of the
+        # sliced K/V inside the decode scan; benchmarks/kv_buckets_ab.py).
+        # The shipping fix sizes the cache BUFFER itself to a bucket
+        # (ops/attention.py::kv_prefix_buckets) — this einsum is already
+        # shape-polymorphic over capacity.
         out = sdpa(q, k, v, scale=cfg.head_dim ** -0.5, mask_bias=mask_bias)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, -1)
     # o_proj contracts the head-sharded dim -> XLA inserts the all-reduce;

@@ -113,6 +113,53 @@ def flash_prefill_sdpa(
     return out.reshape(b, n_heads, s, d)
 
 
+def kv_prefix_buckets(capacity: int, min_capacity: int = 1024,
+                      start: int = 512, step: int = 256) -> tuple:
+    """HOST-side bucket table for bucketed decode attention.
+
+    The KV cache is a static-capacity HBM buffer and the masked-einsum
+    decode path reads ALL capacity positions every step; at serving
+    shapes the dead tail dominates (continuous engine: capacity 1890
+    with ~640 live positions costs ~3 GB/step of KV reads at B=48 —
+    more than the backbone weights; benchmarks/micro_backbone_gap.py
+    GAP_B=48). The fix is a STATIC prefix length per compiled program
+    (`llama_forward(kv_len=...)` slices k/v/mask to the bucket): the
+    dispatcher picks `kv_bucket_for(live_end, buckets)` per step block,
+    paying one extra compile per bucket its streams ever cross. Masked
+    positions contribute exactly 0 to the softmax (exp(NEG_INF) == 0.0
+    and they never win the row max), so results differ from the full
+    read only in reduction order (ULP-level).
+
+    A traced-length `lax.switch` over prefix slices was tried first and
+    measured 1.4x SLOWER than the full read at B=48 x cap 1890 — XLA
+    conditionals copy the big K/V operands every step
+    (benchmarks/kv_buckets_ab.py). Static buckets are the TPU answer.
+
+    Returns ascending prefix lengths ending at `capacity`; () when the
+    buffer is small enough that a full read is already cheap (or
+    CSM_TPU_KV_BUCKETS=0).
+    """
+    import os
+
+    if capacity < min_capacity or \
+            os.environ.get("CSM_TPU_KV_BUCKETS", "1") == "0":
+        return ()
+    buckets = list(range(start, capacity, step))
+    buckets.append(capacity)
+    return tuple(buckets)
+
+
+def kv_bucket_for(live_end: int, buckets: tuple) -> int | None:
+    """Smallest bucket covering `live_end` valid leading KV positions
+    (host-side, per dispatch); None when buckets are disabled."""
+    if not buckets:
+        return None
+    for b in buckets:
+        if b >= live_end:
+            return b
+    return buckets[-1]
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,

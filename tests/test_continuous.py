@@ -408,3 +408,69 @@ def test_int16_transfer_matches_float32_within_grid(model):
     a, b = outs["float32"][1], outs["int16"][1]
     assert a.shape == b.shape and b.dtype == np.float32
     assert np.abs(np.clip(a, -1.0, 1.0) - b).max() <= 1.0 / 32767.0 + 1e-7
+
+
+def _bucketed_engine(model, monkeypatch, **kw):
+    """Engine with KV-bucket machinery scaled to the tiny model's 512
+    context window (production floor is 1024+): buckets every 64 from 64,
+    eager-rebase shift 48, shrink hysteresis 16."""
+    import functools
+
+    import csm_mlx_tpu.continuous as cont
+    from csm_mlx_tpu.ops.attention import kv_prefix_buckets
+
+    monkeypatch.setattr(
+        cont, "kv_prefix_buckets",
+        functools.partial(kv_prefix_buckets, min_capacity=0,
+                          start=64, step=64))
+    kw.setdefault("n_slots", 2)
+    kw.setdefault("max_frames", 200)
+    kw.setdefault("capacity_slack", 16)
+    kw.setdefault("frames_per_step", 3)
+    eng = _engine(model, **kw)
+    eng._EAGER_REBASE_SHIFT = 48
+    eng._SHRINK_HYSTERESIS = 16
+    return eng
+
+
+def test_kv_bucketed_cache_grow_and_parity(model, monkeypatch):
+    """KV-bucketed cache buffers: one long stream pushes the index across
+    bucket edges (grow copies), and the tokens still match the solo run
+    exactly — the buffer size is invisible to the math (growth only
+    appends masked zero positions)."""
+    eng = _bucketed_engine(model, monkeypatch)
+    assert eng.capacity == 32 + 200 + 16
+    assert eng._kv_buckets and eng._kv_buckets[-1] == eng.capacity
+    assert eng._cache.capacity == 64  # smallest bucket over bootstrap + K
+    p, m = _prompt(model.args, 6, seed=31)
+    res = eng.submit_prompt(p, m, max_frames=150)
+    eng.run_until_idle()
+    np.testing.assert_array_equal(res.wait(0), _solo(model, p, m, 150))
+    # 150 frames from bootstrap 32 crosses the 64 and 128 bucket edges
+    assert eng._cache.capacity >= 192
+    assert eng.stats.cache_resizes >= 2
+
+
+def test_kv_bucketed_cache_eager_rebase_shrinks(model, monkeypatch):
+    """After long streams finish, the next admissions open a large shift:
+    the engine rebases eagerly (without hitting max capacity) and shrinks
+    the buffer back to the floor bucket, with exact parity throughout."""
+    eng = _bucketed_engine(model, monkeypatch)
+    pa, ma = _prompt(model.args, 6, seed=32)
+    ra = eng.submit_prompt(pa, ma, max_frames=150)
+    eng.run_until_idle()
+    assert eng._cache.capacity >= 192
+    rebases0 = eng.stats.rebases
+    # Short follow-ups: the dead long stream frees the whole window, so
+    # the next drives rebase eagerly (shift >= 48) and shrink the buffer.
+    reqs = []
+    for i in range(3):
+        p, m = _prompt(model.args, 5 + i, seed=40 + i)
+        reqs.append((eng.submit_prompt(p, m, max_frames=6), p, m))
+    eng.run_until_idle()
+    for res, p, m in reqs:
+        np.testing.assert_array_equal(res.wait(0), _solo(model, p, m, 6))
+    np.testing.assert_array_equal(ra.wait(0), _solo(model, pa, ma, 150))
+    assert eng.stats.rebases > rebases0          # eager, not forced at max
+    assert eng._idx + eng.frames_per_step < eng.capacity
+    assert eng._cache.capacity == 64             # shrunk back to the floor

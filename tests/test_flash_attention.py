@@ -105,3 +105,60 @@ def test_prefill_flash_equals_einsum_path_end_to_end():
     np.testing.assert_allclose(kg[:, 0, :, :s], kw[:, 0, :, :s], atol=2e-5)
     np.testing.assert_allclose(kg[:, 1, :, 11:s], kw[:, 1, :, 11:s],
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed decode attention (static live-KV-prefix reads) vs the full read
+# ---------------------------------------------------------------------------
+
+from csm_mlx_tpu.ops.attention import kv_bucket_for, kv_prefix_buckets
+
+
+def test_kv_prefix_buckets_shape():
+    assert kv_prefix_buckets(512) == ()          # small cache: full read
+    bs = kv_prefix_buckets(1890)
+    assert bs[0] == 512 and bs[-1] == 1890
+    assert all(a < b for a, b in zip(bs, bs[1:]))
+    assert kv_prefix_buckets(1890, min_capacity=4096) == ()
+
+
+def test_kv_prefix_buckets_env_opt_out(monkeypatch):
+    monkeypatch.setenv("CSM_TPU_KV_BUCKETS", "0")
+    assert kv_prefix_buckets(1890) == ()
+
+
+def test_kv_bucket_for():
+    bs = (512, 768, 1024, 1280)
+    assert kv_bucket_for(1, bs) == 512
+    assert kv_bucket_for(512, bs) == 512
+    assert kv_bucket_for(513, bs) == 768
+    assert kv_bucket_for(1280, bs) == 1280
+    assert kv_bucket_for(9999, bs) == 1280   # clamped to capacity
+    assert kv_bucket_for(640, ()) is None    # buckets disabled
+
+
+@pytest.mark.parametrize("kv_live,kv_len", [(1, 512), (300, 512),
+                                            (512, 512), (513, 768),
+                                            (900, 1024), (1280, 1280)])
+def test_static_prefix_sdpa_matches_full_read(kv_live, kv_len):
+    """Dead positions contribute exactly 0 (exp(NEG_INF) == 0), so slicing
+    them off changes only the reduction order — the outputs must agree to
+    ULP-level tolerance (bit-identity does not survive XLA re-tiling the
+    shorter contraction). This is why sizing the cache
+    buffer to a bucket (continuous.py) cannot change the token stream
+    beyond fp noise."""
+    rng = np.random.RandomState(kv_live)
+    b, heads, kvh, cap, d = 3, 8, 2, 1280, 32
+    q = jnp.asarray(rng.randn(b, heads, 1, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(b, kvh, cap, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(b, kvh, cap, d).astype(np.float32))
+    # decode-shaped mask: per-row left pads + nothing beyond the live end
+    pads = jnp.asarray(rng.randint(0, max(1, kv_live), (b,)), jnp.int32)
+    k_idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = (k_idx[None] >= pads[:, None]) & (k_idx[None] < kv_live)
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None]
+    scale = d ** -0.5
+    full = np.asarray(sdpa(q, k, v, scale, bias))
+    got = np.asarray(sdpa(q, k[:, :, :kv_len], v[:, :, :kv_len], scale,
+                          bias[..., :kv_len]))
+    np.testing.assert_allclose(got, full, rtol=2e-6, atol=1e-7)
