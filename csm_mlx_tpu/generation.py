@@ -131,7 +131,7 @@ def _backbone_step(
     mask_bias = key_validity_bias(key_valid)[:, None]
     hidden, cache = llama_forward(
         params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias,
-        cache,
+        cache, decode_pad_len=jnp.reshape(pad_len, (-1,)),
     )
     return hidden[:, -1, :], cache
 

@@ -18,6 +18,7 @@ text+audio embedding externally (`models.py:82-92`).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -175,6 +176,22 @@ def _attn_layer(
         from csm_mlx_tpu.ops.flash_train import flash_attention
 
         out = flash_attention(q, k, v, scale=cfg.head_dim ** -0.5)
+    elif (kwargs.get("decode_pad_len") is not None and s == 1
+          and cache is not None and b >= int(os.environ.get(
+              "CSM_TPU_FLASH_DECODE_MIN_B", "8"))
+          and os.environ.get("CSM_TPU_FLASH_DECODE", "0") != "0"
+          and (jax.default_backend() == "tpu" or os.environ.get(
+              "CSM_TPU_FLASH_DECODE") == "interpret")):
+        # OPT-IN (default off): the per-row Pallas decode kernel keeps the
+        # (group, cap) logits/probs in VMEM, but measured 1.47x SLOWER
+        # than the einsum path at B=48 x cap 768 (9.50 vs 6.46 ms/step,
+        # benchmarks/flash_decode_ab.py) — its per-row K/V DMA streams
+        # below XLA's batched-read rate. Kept behind CSM_TPU_FLASH_DECODE=1
+        # for future-hardware re-evaluation.
+        from csm_mlx_tpu.ops.attention import flash_decode_sdpa
+
+        out = flash_decode_sdpa(q, k, v, cfg.head_dim ** -0.5,
+                                kwargs["decode_pad_len"], cache.index)
     else:
         # NOTE on large caches: reading only a prefix of k/v here — whether
         # via lax.switch over buckets or a static slice — measured SLOWER
@@ -203,6 +220,7 @@ def llama_forward(
     remat: bool = False,
     flash_pad_len: Optional[jax.Array] = None,
     flash_train: bool = False,
+    decode_pad_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the stack.
 
@@ -221,6 +239,10 @@ def llama_forward(
       flash_train: run the differentiable flash-attention kernels
         (ops/flash_train.py) — training-only: requires no cache and a pure
         causal mask (the caller passes mask_bias=None to make that explicit).
+      decode_pad_len: (B,) left pads of a SINGLE-position decode step —
+        enables the Pallas flash-decode kernel at batch >= MIN_B
+        (ops/attention.py::flash_decode_sdpa); the caller still passes the
+        equivalent mask_bias for the einsum fallback.
 
     Returns (hidden (B, S, D), cache').
     """
@@ -235,6 +257,7 @@ def llama_forward(
             lp["self_attn"], cfg, rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps),
             cos, sin, positions, mask_bias, cache, idx,
             flash_pad_len=flash_pad_len, flash_train=flash_train,
+            decode_pad_len=decode_pad_len,
         )
         x = constrain(x + attn_out, "data", None, None)
         h = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)

@@ -160,6 +160,90 @@ def kv_bucket_for(live_end: int, buckets: tuple) -> int | None:
     return buckets[-1]
 
 
+def flash_decode_sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    pad_len: jax.Array,
+    index: jax.Array,
+) -> jax.Array:
+    """Decode-step attention (S_q == 1) as a Pallas kernel. OPT-IN ONLY —
+    measured 1.47x SLOWER than the masked-einsum path at serving shapes.
+
+    Motivation: the einsum decode path showed ~4.7 ms/step of attention
+    cost at B=48 (benchmarks/micro_backbone_gap.py `attn` arm, 215 GB/s
+    effective). This kernel runs one program per batch row: K/V stream
+    into VMEM once, the (group, cap) logits/probs tiles never leave VMEM,
+    and the key-validity mask ((pos >= pad_len[b]) & (pos <= index),
+    exactly generation._backbone_step's) is computed in-register.
+
+    Verdict (benchmarks/flash_decode_ab.py, interleaved, B=48 cap=768):
+    9.50 vs 6.46 ms/step — the per-row (1, n_kv, cap, D) block DMA
+    streams below XLA's batched-read rate, and that dominates the fixed
+    overhead it removes. Kept for future-hardware re-evaluation behind
+    CSM_TPU_FLASH_DECODE=1 (default off; llama._attn_layer).
+
+    Args:
+      q: (B, n_heads, 1, D) — the step's rotated queries.
+      k, v: (B, n_kv, cap, D) — the full cache buffers (post-write).
+      pad_len: (B,) int32 left pads; index: () int32 — the cache's
+        pre-advance write position (valid keys are pad <= pos <= index).
+
+    Returns (B, n_heads, 1, D) in q.dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n_heads, s_q, d = q.shape
+    assert s_q == 1, "flash_decode_sdpa is a single-position decode kernel"
+    n_kv = k.shape[1]
+    cap = k.shape[2]
+    group = n_heads // n_kv
+    q4 = q.reshape(b, n_kv, group, d)
+
+    def kernel(pad_ref, idx_ref, q_ref, k_ref, v_ref, o_ref):
+        bi = pl.program_id(0)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (group, cap), 1)
+        ok = (pos >= pad_ref[bi]) & (pos <= idx_ref[0])
+        for h in range(n_kv):  # static unroll: each kv head's own K/V
+            qh = q_ref[0, h].astype(jnp.float32)            # (group, D)
+            kh = k_ref[0, h].astype(jnp.float32)            # (cap, D)
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                       # (group, cap)
+            logits = jnp.where(ok, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p, v_ref[0, h].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (group, D)
+            o_ref[0, h] = out.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            # whole (B,) pad vector in SMEM, indexed by program_id — Mosaic
+            # rejects rank-1 blocked SMEM specs that aren't 128-multiples
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_kv, group, d), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, n_kv, cap, d), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, n_kv, cap, d), lambda bi: (bi, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_kv, group, d), lambda bi: (bi, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, group, d), q.dtype),
+        interpret=(jax.default_backend() == "cpu"),
+    )(jnp.asarray(pad_len, jnp.int32).reshape(b),
+      jnp.asarray(index, jnp.int32).reshape(1), q4, k, v)
+    return out.reshape(b, n_heads, 1, d)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,

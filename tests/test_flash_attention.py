@@ -162,3 +162,86 @@ def test_static_prefix_sdpa_matches_full_read(kv_live, kv_len):
     got = np.asarray(sdpa(q, k[:, :, :kv_len], v[:, :, :kv_len], scale,
                           bias[..., :kv_len]))
     np.testing.assert_allclose(got, full, rtol=2e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Flash-decode kernel (batched single-position decode) vs the einsum oracle
+# ---------------------------------------------------------------------------
+
+from csm_mlx_tpu.ops.attention import flash_decode_sdpa
+
+
+@pytest.mark.parametrize("b,heads,kvh,cap,d,index", [
+    (8, 8, 2, 128, 32, 64),      # GQA group 4
+    (3, 4, 4, 96, 16, 95),       # MHA, index at the last slot
+    (2, 8, 1, 256, 64, 0),       # single kv head, first decode step
+])
+def test_flash_decode_matches_einsum(b, heads, kvh, cap, d, index):
+    rng = np.random.RandomState(index + cap)
+    q = jnp.asarray(rng.randn(b, heads, 1, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(b, kvh, cap, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(b, kvh, cap, d).astype(np.float32))
+    pad = jnp.asarray(rng.randint(0, index + 1, (b,)), jnp.int32)
+    # the decode-step mask of generation._backbone_step
+    k_idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = (k_idx[None] >= pad[:, None]) & (k_idx[None] <= index)
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None]
+    scale = d ** -0.5
+    want = np.asarray(sdpa(q, k, v, scale, bias))
+    got = np.asarray(flash_decode_sdpa(q, k, v, scale, pad,
+                                       jnp.asarray(index, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_bf16():
+    rng = np.random.RandomState(5)
+    b, heads, kvh, cap, d = 4, 8, 2, 128, 64
+    q = jnp.asarray(rng.randn(b, heads, 1, d) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, kvh, cap, d) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, kvh, cap, d), jnp.bfloat16)
+    pad = jnp.asarray([0, 3, 17, 64], jnp.int32)
+    index = jnp.asarray(80, jnp.int32)
+    k_idx = jnp.arange(cap, dtype=jnp.int32)
+    valid = (k_idx[None] >= pad[:, None]) & (k_idx[None] <= index)
+    bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None]
+    scale = d ** -0.5
+    want = np.asarray(sdpa(q, k, v, scale, bias), np.float32)
+    got = np.asarray(flash_decode_sdpa(q, k, v, scale, pad, index),
+                     np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_backbone_step_flash_decode_parity(tiny_model, monkeypatch):
+    """_backbone_step with the flash-decode kernel (interpret mode on CPU)
+    matches the einsum path on the same cache state."""
+    import dataclasses
+
+    from csm_mlx_tpu.generation import _backbone_step
+    from csm_mlx_tpu.ops.kv_cache import KVCache
+    from csm_mlx_tpu.ops.rope import rope_cache_for
+
+    model = tiny_model
+    args = model.args
+    bcfg = args.backbone_config
+    cap = 96
+    cos_b, sin_b = rope_cache_for(bcfg, max(cap,
+                                            bcfg.max_position_embeddings))
+    rng = np.random.RandomState(0)
+    b = 8  # >= the kernel's MIN_B gate
+    tokens = jnp.asarray(rng.randint(1, 100, (b, 1, args.n_audio_codebooks
+                                               + 1)), jnp.int32)
+    mask = jnp.ones_like(tokens)
+    pad = jnp.asarray(rng.randint(0, 30, (b,)), jnp.int32)
+
+    def run():
+        cache = KVCache.init(bcfg, b, cap, dtype=jnp.float32)
+        cache = dataclasses.replace(cache, index=jnp.asarray(40, jnp.int32))
+        hidden, _ = _backbone_step(model.params, args, tokens, mask, pad,
+                                   cache, cos_b, sin_b)
+        return np.asarray(hidden)
+
+    monkeypatch.setenv("CSM_TPU_FLASH_DECODE", "interpret")  # CPU opt-in
+    on = run()
+    monkeypatch.setenv("CSM_TPU_FLASH_DECODE", "0")
+    off = run()
+    np.testing.assert_allclose(on, off, rtol=3e-5, atol=3e-5)
