@@ -70,7 +70,7 @@ from csm_mlx_tpu.generation import (
 )
 from csm_mlx_tpu.models.csm import CSM
 from csm_mlx_tpu.ops.attention import kv_bucket_for, kv_prefix_buckets
-from csm_mlx_tpu.ops.kv_cache import KVCache
+from csm_mlx_tpu.ops.kv_cache import KVCache, TieredKVCache
 from csm_mlx_tpu.ops.rope import rope_cache_for
 
 logger = logging.getLogger(__name__)
@@ -79,6 +79,22 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 # Jitted programs
 # ---------------------------------------------------------------------------
+
+
+def _use_tiered_kv(frames_per_step: int) -> bool:
+    """Block decode threads only a K-position recent KV tier through the
+    step scan, keeping the big cache buffers scan-invariant so XLA
+    pipelines their reads (4.70 -> 3.01 ms/step at B=48 x cap 640 —
+    benchmarks/micro_kv_carry.py; ops/kv_cache.py::TieredKVCache). TPU
+    default; off elsewhere so CPU tests keep bit-exact solo parity
+    (tiered softmax differs in reduction order only) — CSM_TPU_TIERED_KV=
+    force/0 overrides."""
+    import os
+
+    flag = os.environ.get("CSM_TPU_TIERED_KV", "1")
+    if flag == "0" or frames_per_step <= 1:
+        return False
+    return flag == "force" or jax.default_backend() == "tpu"
 
 
 def _build_continuous_fns(args, sampler, processors, cache_dtype, capacity,
@@ -102,25 +118,52 @@ def _build_continuous_fns(args, sampler, processors, cache_dtype, capacity,
     cos_d, sin_d = rope_cache_for(args.decoder_config,
                                   args.n_audio_codebooks + 1)
 
+    tiered = _use_tiered_kv(frames_per_step)
+
     def step(params, frame, pad_len, cache, key, history, mimi_params,
              dec_state):
         frame_in = frame
 
-        def body(carry, _):
-            frame, cache, key, history = carry
-            tokens, mask = _frame_to_next_input(frame)
-            last_hidden, cache = _backbone_step(
-                params, args, tokens, mask, pad_len, cache, cos_b, sin_b)
-            new_frame, key, history = _decode_frame(
-                params, args, last_hidden, key, history, sampler,
-                processors, cos_d, sin_d)
-            eos = jnp.all(new_frame == 0, axis=1)
-            return ((new_frame, cache, key, history), (new_frame, eos))
+        if tiered:
+            # Big cache buffers stay OUT of the scan carry (closed over →
+            # invariant for the whole block program); only the K-position
+            # recent tier threads through. Merged back once below.
+            t0 = TieredKVCache.wrap(cache, frames_per_step)
 
-        carry = (frame, cache, key, history)
-        carry, (frames, eoses) = jax.lax.scan(
-            body, carry, None, length=frames_per_step)
-        frame, cache, key, history = carry
+            def body(carry, _):
+                frame, rk, rv, idx, key, history = carry
+                tokens, mask = _frame_to_next_input(frame)
+                t = dataclasses.replace(t0, rk=rk, rv=rv, index=idx)
+                last_hidden, t = _backbone_step(
+                    params, args, tokens, mask, pad_len, t, cos_b, sin_b)
+                new_frame, key, history = _decode_frame(
+                    params, args, last_hidden, key, history, sampler,
+                    processors, cos_d, sin_d)
+                eos = jnp.all(new_frame == 0, axis=1)
+                return ((new_frame, t.rk, t.rv, t.index, key, history),
+                        (new_frame, eos))
+
+            carry = (frame, t0.rk, t0.rv, t0.index, key, history)
+            carry, (frames, eoses) = jax.lax.scan(
+                body, carry, None, length=frames_per_step)
+            frame, rk, rv, idx, key, history = carry
+            cache = dataclasses.replace(t0, rk=rk, rv=rv, index=idx).merge()
+        else:
+            def body(carry, _):
+                frame, cache, key, history = carry
+                tokens, mask = _frame_to_next_input(frame)
+                last_hidden, cache = _backbone_step(
+                    params, args, tokens, mask, pad_len, cache, cos_b, sin_b)
+                new_frame, key, history = _decode_frame(
+                    params, args, last_hidden, key, history, sampler,
+                    processors, cos_d, sin_d)
+                eos = jnp.all(new_frame == 0, axis=1)
+                return ((new_frame, cache, key, history), (new_frame, eos))
+
+            carry = (frame, cache, key, history)
+            carry, (frames, eoses) = jax.lax.scan(
+                body, carry, None, length=frames_per_step)
+            frame, cache, key, history = carry
 
         chunks = ()
         if mimi_cfg is not None:

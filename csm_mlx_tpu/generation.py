@@ -118,16 +118,26 @@ def _backbone_step(
 
     The per-step cost scales with cache.capacity (attention reads the whole
     static buffer); large-capacity dispatchers bucket the cache buffer
-    itself (ops/attention.py::kv_prefix_buckets, continuous.py).
+    itself (ops/attention.py::kv_prefix_buckets, continuous.py). `cache`
+    may be a TieredKVCache (block decode): the mask then covers only the
+    big tier's [pad, base) — recent-tier validity is applied inside
+    tiered_sdpa.
     """
+    from csm_mlx_tpu.ops.kv_cache import TieredKVCache
+
     bcfg = args.backbone_config
     capacity = cache.capacity
     embeds = masked_input_embeds(params, args, tokens, token_mask)
     positions = (cache.index - pad_len).reshape(-1, 1).astype(jnp.int32)
     k_idx = jnp.arange(capacity, dtype=jnp.int32)
-    key_valid = (k_idx[None] >= jnp.reshape(pad_len, (-1, 1))) & (
-        k_idx[None] <= cache.index
-    )
+    if isinstance(cache, TieredKVCache):
+        key_valid = (k_idx[None] >= jnp.reshape(pad_len, (-1, 1))) & (
+            k_idx[None] < cache.base
+        )
+    else:
+        key_valid = (k_idx[None] >= jnp.reshape(pad_len, (-1, 1))) & (
+            k_idx[None] <= cache.index
+        )
     mask_bias = key_validity_bias(key_valid)[:, None]
     hidden, cache = llama_forward(
         params["backbone"], bcfg, embeds, cos_b, sin_b, positions, mask_bias,

@@ -159,7 +159,16 @@ def _attn_layer(
     if cache is not None:
         cache, k, v = cache.update_layer(layer_idx, k, v)
 
-    if flash_pad_len is not None:
+    if isinstance(k, tuple):
+        # TieredKVCache block decode: invariant big tier + carried recent
+        # tier, one softmax across both (ops/attention.py::tiered_sdpa;
+        # the scan-carry read-rate collapse it avoids is measured in
+        # benchmarks/micro_kv_carry.py).
+        from csm_mlx_tpu.ops.attention import tiered_sdpa
+
+        out = tiered_sdpa(q, k, v, cfg.head_dim ** -0.5, mask_bias,
+                          cache.index - cache.base)
+    elif flash_pad_len is not None:
         # Pallas flash prefill: causal + left-pad masking in-kernel over the
         # first S cache slots (everything past the prompt is causally
         # unreachable anyway); logits stay in VMEM.

@@ -244,6 +244,62 @@ def flash_decode_sdpa(
     return out.reshape(b, n_heads, 1, d)
 
 
+def tiered_sdpa(
+    q: jax.Array,
+    k: tuple,
+    v: tuple,
+    scale: float,
+    big_bias: jax.Array,
+    j: jax.Array,
+) -> jax.Array:
+    """Two-tier decode attention (S_q == 1) over [big | recent] K/V.
+
+    The big tier is scan-invariant inside a block-decode program (so XLA
+    pipelines its reads at the streaming rate — see
+    ops/kv_cache.py::TieredKVCache); the recent tier holds the block's
+    K newest positions, of which [0, j] are valid. One softmax runs over
+    the concatenated logits, so the valid-logit SET is identical to the
+    single-buffer path (ULP-level reduction-order differences only).
+
+    Args:
+      q: (B, n_heads, 1, D).
+      k, v: ((B, n_kv, cap, D) big, (B, n_kv, K, D) recent) pairs.
+      big_bias: additive fp32 bias over the big tier, broadcastable to
+        (B, 1, 1, cap) — the caller masks [pad, base) validity.
+      j: () int32 — recent positions <= j are valid.
+
+    Returns (B, n_heads, 1, D) in q.dtype.
+    """
+    kb, kr = k
+    vb, vr = v
+    b, n_heads, s_q, d = q.shape
+    n_kv = kb.shape[1]
+    group = n_heads // n_kv
+    win = kr.shape[2]
+    qg = q.reshape(b, n_kv, group, s_q, d)
+
+    lb = jnp.einsum("bkgqd,bkld->bkgql", qg, kb,
+                    preferred_element_type=jnp.float32) * jnp.float32(scale)
+    if big_bias.ndim == 4:  # (B, 1|H, S_q, cap)
+        lb = lb + big_bias[:, :, None]
+    else:
+        lb = lb + big_bias
+    lr = jnp.einsum("bkgqd,bkld->bkgql", qg, kr,
+                    preferred_element_type=jnp.float32) * jnp.float32(scale)
+    rpos = jnp.arange(win, dtype=jnp.int32)
+    lr = jnp.where(rpos <= j, lr, NEG_INF)
+    logits = jnp.concatenate([lb, lr], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    cap = kb.shape[2]
+    out = (
+        jnp.einsum("bkgql,bkld->bkgqd", probs[..., :cap].astype(vb.dtype),
+                   vb, preferred_element_type=jnp.float32)
+        + jnp.einsum("bkgql,bkld->bkgqd", probs[..., cap:].astype(vr.dtype),
+                     vr, preferred_element_type=jnp.float32)
+    )
+    return out.reshape(b, n_heads, s_q, d).astype(q.dtype)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,

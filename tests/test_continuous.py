@@ -474,3 +474,20 @@ def test_kv_bucketed_cache_eager_rebase_shrinks(model, monkeypatch):
     assert eng.stats.rebases > rebases0          # eager, not forced at max
     assert eng._idx + eng.frames_per_step < eng.capacity
     assert eng._cache.capacity == 64             # shrunk back to the floor
+
+
+def test_tiered_kv_engine_parity(model, monkeypatch):
+    """The tiered block-decode step (forced on; TPU default) produces the
+    same streams as solo runs — deterministic on a fixed platform (the
+    tiered softmax differs from the classic path only in reduction
+    order)."""
+    monkeypatch.setenv("CSM_TPU_TIERED_KV", "force")
+    eng = _engine(model, frames_per_step=3)
+    reqs = []
+    for i, mf in enumerate([5, 8, 3, 7]):
+        p, m = _prompt(model.args, 4 + i, seed=50 + i)
+        reqs.append((eng.submit_prompt(p, m, max_frames=mf), p, m, mf))
+    eng.run_until_idle()
+    for res, p, m, mf in reqs:
+        np.testing.assert_array_equal(res.wait(0), _solo(model, p, m, mf))
+    assert eng.stats.completed == 4

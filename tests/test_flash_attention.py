@@ -245,3 +245,123 @@ def test_backbone_step_flash_decode_parity(tiny_model, monkeypatch):
     monkeypatch.setenv("CSM_TPU_FLASH_DECODE", "0")
     off = run()
     np.testing.assert_allclose(on, off, rtol=3e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Tiered (block-decode) attention vs the single-buffer oracle
+# ---------------------------------------------------------------------------
+
+from csm_mlx_tpu.ops.attention import tiered_sdpa
+from csm_mlx_tpu.ops.kv_cache import KVCache, TieredKVCache
+
+
+@pytest.mark.parametrize("j", [0, 2, 3])
+def test_tiered_sdpa_matches_single_buffer(j):
+    """[big | recent] with one softmax must equal the single-buffer path
+    whose positions [base, base+j] hold the recent rows (same valid-logit
+    set; reduction order differs at ULP level)."""
+    rng = np.random.RandomState(j)
+    b, heads, kvh, cap, win, d, base = 3, 8, 2, 96, 4, 32, 60
+    q = jnp.asarray(rng.randn(b, heads, 1, d).astype(np.float32)) * 0.3
+    kb = jnp.asarray(rng.randn(b, kvh, cap, d).astype(np.float32)) * 0.3
+    vb = jnp.asarray(rng.randn(b, kvh, cap, d).astype(np.float32))
+    kr = jnp.asarray(rng.randn(b, kvh, win, d).astype(np.float32)) * 0.3
+    vr = jnp.asarray(rng.randn(b, kvh, win, d).astype(np.float32))
+    pad = jnp.asarray(rng.randint(0, base, (b,)), jnp.int32)
+    kpos = jnp.arange(cap, dtype=jnp.int32)
+    big_ok = (kpos[None] >= pad[:, None]) & (kpos[None] < base)
+    big_bias = jnp.where(big_ok, 0.0, NEG_INF).astype(jnp.float32)[
+        :, None, None]
+    scale = d ** -0.5
+    got = np.asarray(tiered_sdpa(q, (kb, kr), (vb, vr), scale, big_bias,
+                                 jnp.asarray(j, jnp.int32)))
+    # oracle: splice recent into the big buffer and run plain sdpa
+    k1 = kb.at[:, :, base:base + win].set(kr)
+    v1 = vb.at[:, :, base:base + win].set(vr)
+    ok = (kpos[None] >= pad[:, None]) & (kpos[None] <= base + j)
+    bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)[:, None, None]
+    want = np.asarray(sdpa(q, k1, v1, scale, bias))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+
+def test_tiered_kv_cache_mechanics():
+    """wrap -> per-layer writes -> merge equals the same writes applied
+    directly to a classic KVCache (writes are attention-independent)."""
+    from csm_mlx_tpu.config import LlamaConfig
+
+    cfg = LlamaConfig(num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=8,
+                      intermediate_size=32, hidden_size=32,
+                      max_position_embeddings=64)
+    rng = np.random.RandomState(0)
+    base = KVCache.init(cfg, 3, 32, dtype=jnp.float32)
+    import dataclasses as dc
+    base = dc.replace(base, index=jnp.asarray(10, jnp.int32))
+    t = TieredKVCache.wrap(base, window=4)
+    classic = base
+    for step in range(3):
+        for li in range(2):
+            kn = jnp.asarray(rng.randn(3, 2, 1, 8), jnp.float32)
+            vn = jnp.asarray(rng.randn(3, 2, 1, 8), jnp.float32)
+            t, (tkb, tkr), (tvb, tvr) = t.update_layer(li, kn, vn)
+            classic, ck, cv = classic.update_layer(li, kn, vn)
+            assert tkr.shape == (3, 2, 4, 8) and tkb.shape == ck.shape
+        t = t.advance(1)
+        classic = classic.advance(1)
+    merged = t.merge()
+    np.testing.assert_array_equal(np.asarray(merged.k),
+                                  np.asarray(classic.k))
+    np.testing.assert_array_equal(np.asarray(merged.v),
+                                  np.asarray(classic.v))
+    assert int(merged.index) == int(classic.index) == 13
+
+
+def test_backbone_step_tiered_block_parity(tiny_model):
+    """A K-step block through the tiered view (wrap -> steps -> merge)
+    matches the classic carried-cache chain: hidden states to fp
+    tolerance, merged cache close to the classic cache."""
+    import dataclasses as dc
+
+    from csm_mlx_tpu.generation import _backbone_step
+    from csm_mlx_tpu.ops.rope import rope_cache_for
+
+    model = tiny_model
+    args = model.args
+    bcfg = args.backbone_config
+    cap, base, K = 96, 40, 4
+    cos_b, sin_b = rope_cache_for(bcfg, max(cap,
+                                            bcfg.max_position_embeddings))
+    rng = np.random.RandomState(0)
+    b = 2
+    pad = jnp.asarray([3, 11], jnp.int32)
+
+    def toks(i):
+        t = jnp.asarray(rng.randint(1, 100, (b, 1, args.n_audio_codebooks
+                                             + 1)), jnp.int32)
+        return t, jnp.ones_like(t)
+
+    steps = [toks(i) for i in range(K)]
+
+    c0 = KVCache.init(bcfg, b, cap, dtype=jnp.float32)
+    c0 = dc.replace(c0, index=jnp.asarray(base, jnp.int32),
+                    k=jnp.asarray(rng.randn(*c0.k.shape), jnp.float32),
+                    v=jnp.asarray(rng.randn(*c0.v.shape), jnp.float32))
+
+    classic, hs_c = c0, []
+    for t, m in steps:
+        h, classic = _backbone_step(model.params, args, t, m, pad,
+                                    classic, cos_b, sin_b)
+        hs_c.append(np.asarray(h))
+
+    tier, hs_t = TieredKVCache.wrap(c0, K), []
+    for t, m in steps:
+        h, tier = _backbone_step(model.params, args, t, m, pad,
+                                 tier, cos_b, sin_b)
+        hs_t.append(np.asarray(h))
+    merged = tier.merge()
+
+    for hc, ht in zip(hs_c, hs_t):
+        np.testing.assert_allclose(ht, hc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(merged.k), np.asarray(classic.k),
+                               rtol=1e-4, atol=1e-5)
+    assert int(merged.index) == int(classic.index)
