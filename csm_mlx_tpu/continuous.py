@@ -70,7 +70,8 @@ from csm_mlx_tpu.generation import (
 )
 from csm_mlx_tpu.models.csm import CSM
 from csm_mlx_tpu.ops.attention import kv_bucket_for, kv_prefix_buckets
-from csm_mlx_tpu.ops.kv_cache import KVCache, TieredKVCache
+from csm_mlx_tpu.ops.kv_cache import (KVCache, TieredKVCache,
+                                      use_tiered_kv)
 from csm_mlx_tpu.ops.rope import rope_cache_for
 
 logger = logging.getLogger(__name__)
@@ -79,22 +80,6 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 # Jitted programs
 # ---------------------------------------------------------------------------
-
-
-def _use_tiered_kv(frames_per_step: int) -> bool:
-    """Block decode threads only a K-position recent KV tier through the
-    step scan, keeping the big cache buffers scan-invariant so XLA
-    pipelines their reads (4.70 -> 3.01 ms/step at B=48 x cap 640 —
-    benchmarks/micro_kv_carry.py; ops/kv_cache.py::TieredKVCache). TPU
-    default; off elsewhere so CPU tests keep bit-exact solo parity
-    (tiered softmax differs in reduction order only) — CSM_TPU_TIERED_KV=
-    force/0 overrides."""
-    import os
-
-    flag = os.environ.get("CSM_TPU_TIERED_KV", "1")
-    if flag == "0" or frames_per_step <= 1:
-        return False
-    return flag == "force" or jax.default_backend() == "tpu"
 
 
 def _build_continuous_fns(args, sampler, processors, cache_dtype, capacity,
@@ -118,7 +103,7 @@ def _build_continuous_fns(args, sampler, processors, cache_dtype, capacity,
     cos_d, sin_d = rope_cache_for(args.decoder_config,
                                   args.n_audio_codebooks + 1)
 
-    tiered = _use_tiered_kv(frames_per_step)
+    tiered = use_tiered_kv(frames_per_step)
 
     def step(params, frame, pad_len, cache, key, history, mimi_params,
              dec_state):

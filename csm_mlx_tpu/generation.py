@@ -26,6 +26,7 @@ k+1 before chunk k is synced to the host (dispatch-ahead).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 from typing import Any, Generator, List, Optional, Sequence, Tuple
@@ -322,7 +323,9 @@ def _resident_env_key() -> Tuple[str, ...]:
             os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1"),
             os.environ.get("CSM_TPU_FLASH_PREFILL", "1"),
             os.environ.get("CSM_TPU_QUANT_PALLAS", "1"),
-            os.environ.get("CSM_TPU_DECODER_UNROLL", "31"))
+            os.environ.get("CSM_TPU_DECODER_UNROLL", "31"),
+            os.environ.get("CSM_TPU_TIERED_KV", "1"),
+            os.environ.get("CSM_TPU_GEN_BLOCK", "8"))
 
 
 def _env_keyed(cached_builder):
@@ -349,19 +352,42 @@ def _build_generate_tokens_impl(
 ):
     bcfg = args.backbone_config
     dcfg = args.decoder_config
-    capacity = bucket + max_frames
+
+    # Tiered block decode: the while_loop advances CSM_TPU_GEN_BLOCK frames
+    # per iteration through an inner scan that carries only the recent KV
+    # tier, keeping the big cache buffers loop-invariant per block so XLA
+    # pipelines their reads (ops/kv_cache.py::TieredKVCache — a plain
+    # per-frame cache carry collapses the attention read rate 553 -> 214
+    # GB/s at B=48, benchmarks/micro_kv_carry.py). Emitted tokens are
+    # unchanged (same valid-logit set; up to BLOCK-1 discarded frames
+    # compute after the last row's EOS instead of stopping exactly on it).
+    from csm_mlx_tpu.ops.kv_cache import TieredKVCache, use_tiered_kv
+
+    block = max(1, int(os.environ.get("CSM_TPU_GEN_BLOCK", "8")))
+    tiered = use_tiered_kv(block) and max_frames >= block
+    pad_frames = -(-max_frames // block) * block if tiered else max_frames
+
+    # The final (partial) block still writes K positions: size the cache
+    # for the padded frame count so the last merge stays in bounds.
+    capacity = bucket + pad_frames
     cos_b, sin_b = rope_cache_for(bcfg, max(capacity, bcfg.max_position_embeddings))
     cos_d, sin_d = rope_cache_for(dcfg, args.n_audio_codebooks + 1)
     dtype = jnp.dtype(cache_dtype)
 
     def gen(params, tokens, token_mask, pad_len, key):
         b = tokens.shape[0]
+        # The scan-carry read penalty tiering removes scales with B (it is
+        # KV bytes); at B=1 the block machinery's own overhead outweighs
+        # it (bench.py measured ~-2% single-stream), so small batches keep
+        # the exact per-frame loop.
+        use_tiered = tiered and b >= int(os.environ.get(
+            "CSM_TPU_TIERED_MIN_B", "2"))
         cache = KVCache.init(bcfg, b, capacity, dtype=dtype)
         last_hidden, cache = _prefill(
             params, args, tokens, token_mask, pad_len, cache, cos_b, sin_b
         )
         history = jnp.full((b, HISTORY_SIZE), -1, dtype=jnp.int32)
-        frames = jnp.zeros((max_frames, b, args.n_audio_codebooks), dtype=jnp.int32)
+        frames = jnp.zeros((pad_frames, b, args.n_audio_codebooks), dtype=jnp.int32)
 
         state = dict(
             i=jnp.zeros((), jnp.int32),
@@ -409,8 +435,47 @@ def _build_generate_tokens_impl(
                 last_hidden=last_hidden, cache=cache, key=key, history=history,
             )
 
-        final = jax.lax.while_loop(cond, body, state)
-        return final["frames"], final["n_frames"]
+        def block_body(st):
+            t0 = TieredKVCache.wrap(st["cache"], block)
+
+            def inner(carry, _):
+                last_hidden, rk, rv, idx, key, history, done, n_frames, j = \
+                    carry
+                frame, key, history = _decode_frame(
+                    params, args, last_hidden, key, history,
+                    sampler, processors, cos_d, sin_d,
+                )
+                row_eos = jnp.all(frame == 0, axis=1)
+                done = done | row_eos
+                n_frames = jnp.where(done, n_frames, j + 1)
+                nxt_tokens, nxt_mask = _frame_to_next_input(frame)
+                t = dataclasses.replace(t0, rk=rk, rv=rv, index=idx)
+                last_hidden, t = _backbone_step(
+                    params, args, nxt_tokens, nxt_mask, pad_len, t,
+                    cos_b, sin_b,
+                )
+                return (last_hidden, t.rk, t.rv, t.index, key, history,
+                        done, n_frames, j + 1), frame
+
+            carry = (st["last_hidden"], t0.rk, t0.rv, t0.index, st["key"],
+                     st["history"], st["done"], st["n_frames"], st["i"])
+            carry, frames_blk = jax.lax.scan(inner, carry, None,
+                                             length=block)
+            (last_hidden, rk, rv, idx, key, history, done, n_frames,
+             _j) = carry
+            cache = dataclasses.replace(t0, rk=rk, rv=rv, index=idx).merge()
+            frames = jax.lax.dynamic_update_slice(
+                st["frames"], frames_blk, (st["i"], 0, 0))
+            return dict(
+                i=st["i"] + block, n_frames=n_frames, done=done,
+                frames=frames, last_hidden=last_hidden, cache=cache,
+                key=key, history=history,
+            )
+
+        final = jax.lax.while_loop(cond, block_body if use_tiered else body,
+                                   state)
+        n_frames = jnp.minimum(final["n_frames"], max_frames)
+        return final["frames"][:max_frames], n_frames
 
     return jax.jit(gen)
 

@@ -168,3 +168,18 @@ class TieredKVCache:
         v5 = jax.lax.dynamic_update_slice(
             self.big_v, self.rv.astype(self.big_v.dtype), start)
         return KVCache(k=k5, v=v5, index=self.index)
+
+def use_tiered_kv(block_frames: int) -> bool:
+    """Gate for tiered block decode (TieredKVCache): threading only a
+    K-position recent KV tier through a decode scan keeps the big cache
+    buffers scan-invariant so XLA pipelines their reads (4.70 -> 3.01
+    ms/step at B=48 x cap 640 — benchmarks/micro_kv_carry.py). TPU
+    default; off elsewhere so CPU tests keep bit-exact parity with the
+    classic per-frame path (the tiered softmax differs in reduction order
+    only) — CSM_TPU_TIERED_KV=force/0 overrides."""
+    import os
+
+    flag = os.environ.get("CSM_TPU_TIERED_KV", "1")
+    if flag == "0" or block_frames <= 1:
+        return False
+    return flag == "force" or jax.default_backend() == "tpu"

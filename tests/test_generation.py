@@ -144,3 +144,32 @@ def test_generate_frame_default_cache_has_decode_headroom(tiny_model):
             cache=cache, key=key, history=history, return_state=True)
         frames.append(np.asarray(frame)[0])
     np.testing.assert_array_equal(np.stack(frames), fused[:n])
+
+
+def test_tiered_block_loop_matches_per_frame_loop(tiny_model, monkeypatch):
+    """The tiered block-decode generation loop (TPU default; forced here)
+    emits exactly the per-frame loop's tokens and counts, including when
+    max_frames is not a multiple of the block."""
+    from csm_mlx_tpu.generation import (_build_generate_tokens,
+                                        generate_tokens_batch)
+
+    args = tiny_model.args
+    prompts, masks = zip(*[_prompt(args, 5 + i, seed=20 + i)
+                           for i in range(3)])
+    key = jax.random.PRNGKey(11)
+    fr0, n0 = generate_tokens_batch(tiny_model, list(prompts), list(masks),
+                                    13, temperature=0.0, key=key)
+    assert fr0.shape[0] == 13
+    for blk in ("4", "8"):
+        monkeypatch.setenv("CSM_TPU_TIERED_KV", "force")
+        monkeypatch.setenv("CSM_TPU_GEN_BLOCK", blk)
+        _build_generate_tokens.cache_clear()
+        fr1, n1 = generate_tokens_batch(tiny_model, list(prompts),
+                                        list(masks), 13, temperature=0.0,
+                                        key=key)
+        assert fr1.shape == fr0.shape  # padded buffer trimmed to max_frames
+        np.testing.assert_array_equal(n1, n0)
+        for b in range(3):
+            np.testing.assert_array_equal(fr1[:n1[b], b], fr0[:n0[b], b])
+    monkeypatch.undo()
+    _build_generate_tokens.cache_clear()
