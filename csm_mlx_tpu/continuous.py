@@ -32,6 +32,14 @@ Design (why this is exact, not approximate):
   by the minimum live left-pad, keeping a bounded buffer over an unbounded
   serving lifetime. Positions are pad-relative, so a rebase is exact.
 
+Multi-chip: `ContinuousEngine(..., mesh=...)` (after
+`parallel.shard_model(model, mesh)`) commits the slot carry over the
+mesh — slot axes shard across "data", params shard across "model" — and
+the SAME jitted step/admit/rebase programs run SPMD with XLA-inserted
+collectives (tensor-parallel frame steps, data-parallel slots). The
+resident Pallas kernel is mutually exclusive with a mesh (it does not
+partition under GSPMD); construction fails loudly if both are present.
+
 Pipelining: the host dispatches step k+1 before reading step k's outputs
 (the remote-TPU tunnel costs ~10-25 ms per synchronous round trip, the
 step itself ~2-5 ms). Frames EOS-discovered late are simply discarded —
@@ -451,12 +459,23 @@ class ContinuousEngine:
         transfer: str = "float32",  # "int16": device-side PCM16 chunk
                                     # fetch (half the bytes; values land on
                                     # the 16-bit grid)
+        mesh: Optional[Any] = None,
         key: Optional[jax.Array] = None,
     ):
         args = model.args
         self.model = model
         self.args = args
         self.n_slots = n_slots
+        self.mesh = mesh
+        if mesh is not None and "_resident" in model.params:
+            # The VMEM-resident frame kernel is a Pallas program — it does
+            # not partition under GSPMD, and _decode_frame would trace it
+            # because the prepared tables are present. Fail loudly instead
+            # of compiling a program that aborts on the first step.
+            raise ValueError(
+                "ContinuousEngine(mesh=...) uses the dispatched decode path; "
+                "drop the prepared resident-decoder tables "
+                "(model.params.pop('_resident')) or the mesh")
         self.max_frames = max_frames
         self.max_prompt_bucket = max_prompt_bucket
         self.frames_per_step = max(1, frames_per_step)
@@ -521,6 +540,8 @@ class ContinuousEngine:
             self._mimi.init_decode_state(
                 n_slots, chunk_frames=self.frames_per_step)
             if self._mimi is not None else None)
+        if mesh is not None:
+            self._place_carry_on_mesh()
 
         # Host mirrors + scheduler state -------------------------------
         self._idx = self._bootstrap          # mirror of cache.index
@@ -538,6 +559,51 @@ class ContinuousEngine:
         # Set when the drive loop dies on a device error: the carry may be
         # donated/corrupt, so further submits must fail fast, not hang.
         self._dead: Optional[BaseException] = None
+
+    def _place_carry_on_mesh(self) -> None:
+        """Commit the device carry to `self.mesh`: slot (batch) axes shard
+        over the mesh's "data" axis when the slot count divides it
+        (replicated otherwise), everything else replicates. Params carry
+        their own shardings (`parallel.shard_model`) and jit propagates
+        both — XLA inserts the TP/DP collectives (the same contract as
+        `generation._place_inputs`, so `mesh=` here composes with the same
+        `shard_model(model, mesh)` call the lockstep paths use)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        data_size = dict(mesh.shape).get("data", 1)
+        row = ("data" if data_size > 1 and self.n_slots % data_size == 0
+               else None)
+
+        def put(x, axis=None):
+            spec = [None] * np.ndim(x)
+            if row is not None and axis is not None:
+                spec[axis] = row
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        self._frame = put(self._frame, 0)
+        self._history = put(self._history, 0)
+        self._pad = put(self._pad, 0)
+        self._key = put(self._key)
+        self._cache = dataclasses.replace(
+            self._cache, k=put(self._cache.k, 1), v=put(self._cache.v, 1),
+            index=put(self._cache.index))
+        if self._dec_state is not None:
+            # The Mimi decode state is a nested pytree whose batch axes sit
+            # at different positions per leaf (ring KV, conv tails, stream
+            # starts). Identify each leaf's batch axis EXACTLY by diffing
+            # shapes against a probe state built at batch = n_slots + 1 —
+            # the axis that grew is the slot axis; leaves with no batch
+            # axis (position counters, filled flags) replicate.
+            probe = self._mimi.init_decode_state(
+                self.n_slots + 1, chunk_frames=self.frames_per_step)
+
+            def put_leaf(x, px):
+                ax = next((i for i, (a, b) in enumerate(
+                    zip(np.shape(x), np.shape(px))) if a != b), None)
+                return put(x, ax)
+
+            self._dec_state = jax.tree.map(put_leaf, self._dec_state, probe)
 
     # -- submission ------------------------------------------------------
 

@@ -429,6 +429,8 @@ class ContinuousTTSServer:
         transfer: str = "int16",  # measured 1.39x over float32
                                   # (benchmarks/slots_ab.py TRANSFER_A/B);
                                   # lossless for the PCM16 HTTP endpoints
+        mesh: Optional[Any] = None,  # TP/DP serving: pass after
+                                     # parallel.shard_model(model, mesh)
     ):
         from csm_mlx_tpu.continuous import ContinuousEngine
         from csm_mlx_tpu.generation import FRAME_MS
@@ -441,7 +443,7 @@ class ContinuousTTSServer:
         self.engine = engine or ContinuousEngine(
             model, n_slots=n_slots, max_frames=max_frames,
             max_prompt_bucket=max_prompt_bucket, temperature=temperature,
-            sampler=sampler, codec=True, transfer=transfer)
+            sampler=sampler, codec=True, transfer=transfer, mesh=mesh)
         if not getattr(self.engine, "has_codec", False):
             # A codec-less engine completes every request "successfully"
             # with zero-length audio — fail construction loudly instead.

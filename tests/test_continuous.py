@@ -491,3 +491,96 @@ def test_tiered_kv_engine_parity(model, monkeypatch):
     for res, p, m, mf in reqs:
         np.testing.assert_array_equal(res.wait(0), _solo(model, p, m, mf))
     assert eng.stats.completed == 4
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip (virtual 8-device mesh)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_engine_matches_solo(model):
+    """ContinuousEngine(mesh=): TP x DP continuous batching produces the
+    same greedy streams as single-device solo runs. Solo references are
+    generated BEFORE shard_model so they run unsharded."""
+    from csm_mlx_tpu.parallel import create_mesh, shard_model
+
+    reqs = []
+    for i, mf in enumerate([6, 9, 4]):
+        p, m = _prompt(model.args, 4 + i, seed=70 + i)
+        reqs.append((p, m, mf, _solo(model, p, m, mf)))
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    shard_model(model, mesh)
+    eng = _engine(model, n_slots=4, mesh=mesh)
+    handles = [(eng.submit_prompt(p, m, max_frames=mf), want)
+               for p, m, mf, want in reqs]
+    eng.run_until_idle()
+    for res, want in handles:
+        np.testing.assert_array_equal(res.wait(0), want)
+    assert eng.stats.completed == 3
+
+
+def test_mesh_engine_carry_is_sharded(model):
+    """The slot carry actually lands sharded over the "data" axis (not
+    silently replicated): the cache batch axis and the per-slot vectors
+    carry a 2-way "data" sharding on the {data:2, model:4} mesh."""
+    from csm_mlx_tpu.parallel import create_mesh, shard_model
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    shard_model(model, mesh)
+    eng = _engine(model, n_slots=4, mesh=mesh)
+
+    def row_axis(x):
+        spec = tuple(x.sharding.spec) + (None,) * x.ndim
+        return [i for i, s in enumerate(spec[:x.ndim]) if s == "data"]
+
+    assert row_axis(eng._cache.k) == [1]
+    assert row_axis(eng._pad) == [0]
+    assert row_axis(eng._frame) == [0]
+
+
+def test_mesh_engine_indivisible_slots_replicate(model):
+    """n_slots not divisible by the data axis must replicate rows rather
+    than fail device_put's divisibility check (same contract as
+    generation._place_inputs for a single prompt)."""
+    from csm_mlx_tpu.parallel import create_mesh, shard_model
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    shard_model(model, mesh)
+    eng = _engine(model, n_slots=3, mesh=mesh)
+    p, m = _prompt(model.args, 5, seed=80)
+    res = eng.submit_prompt(p, m, max_frames=5)
+    eng.run_until_idle()
+    np.testing.assert_array_equal(res.wait(0), _solo(model, p, m, 5))
+
+
+def test_mesh_engine_rejects_resident_tables(model):
+    from csm_mlx_tpu.parallel import create_mesh
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    model.params["_resident"] = {"layers": []}
+    try:
+        with pytest.raises(ValueError, match="resident"):
+            ContinuousEngine(model, n_slots=4, codec=False, mesh=mesh)
+    finally:
+        model.params.pop("_resident", None)
+
+
+def test_mesh_engine_codec_state_shard_probe(model):
+    """The Mimi decode-state probe placement finds each leaf's slot axis:
+    the per-row stream starts shard over "data" while the shared position
+    counter replicates."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+    from jax.sharding import PartitionSpec as P
+    from csm_mlx_tpu.parallel import create_mesh, shard_model
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    try:
+        mesh = create_mesh({"data": 2, "model": 4})
+        shard_model(model, mesh)
+        eng = _engine(model, n_slots=4, codec=True, mesh=mesh)
+        tr = eng._dec_state.transformer
+        assert tr.start.sharding.spec == P("data")
+        assert tr.index.sharding.spec == P()
+    finally:
+        tok_mod.get_audio_tokenizer.cache_clear()
