@@ -51,7 +51,29 @@ def add_parser(subparsers) -> None:
     p.add_argument("--slots", type=int, default=48,
                    help="Continuous mode: concurrent generation slots "
                         "(48 measured 1.48x over 16, benchmarks/slots_ab.py)")
+    p.add_argument("--mesh", default=None, metavar="AXES",
+                   help="Multi-chip serving: mesh axes as 'data=2,model=4' "
+                        "(sizes must multiply to the local device count). "
+                        "Shards the model over 'model' and request rows / "
+                        "slots over 'data'. Incompatible with --quantize "
+                        "(the W8A8 Pallas kernels do not partition under "
+                        "GSPMD — serve bf16 over the mesh instead)")
     p.set_defaults(func=run)
+
+
+def parse_mesh_argument(spec: str) -> "dict[str, int]":
+    """'data=2,model=4' -> {"data": 2, "model": 4} (axis order preserved —
+    it defines the device layout; "model" innermost rides the fastest ICI)."""
+    axes: dict = {}
+    for part in spec.split(","):
+        name, _, size = part.partition("=")
+        name = name.strip()
+        if not name or not size.strip().isdigit() or int(size) < 1:
+            raise ValueError(
+                f"bad mesh axis {part!r} in --mesh {spec!r}; expected "
+                f"NAME=SIZE pairs like 'data=2,model=4'")
+        axes[name] = int(size.strip())
+    return axes
 
 
 def run(args: argparse.Namespace) -> None:
@@ -66,6 +88,13 @@ def run(args: argparse.Namespace) -> None:
     from csm_mlx_tpu.finetune.lora import load_adapters
     from csm_mlx_tpu.serve import ContinuousTTSServer, TTSServer, serve_http
 
+    if args.mesh and args.quantize:
+        raise SystemExit(
+            "--mesh is incompatible with --quantize: the W8A8 Pallas "
+            "kernels do not partition under GSPMD; serve bf16 over "
+            "the mesh instead")
+    mesh_axes = parse_mesh_argument(args.mesh) if args.mesh else None
+
     model_config = MODEL[args.model]
     weight = parse_weight_argument(args.weight)
     adapter = parse_adapter_argument(args.adapter)
@@ -78,12 +107,20 @@ def run(args: argparse.Namespace) -> None:
     if args.quantize:
         quantize(csm, mode="w8a8")
 
+    mesh = None
+    if mesh_axes is not None:
+        from csm_mlx_tpu.parallel import create_mesh, shard_model
+
+        mesh = create_mesh(mesh_axes)
+        shard_model(csm, mesh)
+
     if args.continuous:
         server = ContinuousTTSServer(
             csm, n_slots=args.slots,
             max_audio_length_ms=args.max_audio_length,
             temperature=args.temperature, watermark_key=args.watermark_key,
             max_pending=args.max_pending, transfer=args.transfer,
+            mesh=mesh,
         )
     else:
         server = TTSServer(
@@ -91,6 +128,7 @@ def run(args: argparse.Namespace) -> None:
             max_audio_length_ms=args.max_audio_length,
             temperature=args.temperature, watermark_key=args.watermark_key,
             transfer=args.transfer, max_pending=args.max_pending,
+            mesh=mesh,
         )
 
     async def main():

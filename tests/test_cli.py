@@ -78,3 +78,29 @@ def test_natural_sort_and_speaker_id():
     assert find_speaker_id("speaker3_hello.wav") == 3
     assert find_speaker_id("SPEAKER12-x.wav") == 12
     assert find_speaker_id("nospeaker.wav") is None
+
+
+def test_serve_mesh_argument_parsing():
+    from csm_mlx_tpu.cli.serve import parse_mesh_argument
+
+    assert parse_mesh_argument("data=2,model=4") == {"data": 2, "model": 4}
+    assert list(parse_mesh_argument("model=4,data=2")) == ["model", "data"]
+    assert parse_mesh_argument("data=8") == {"data": 8}
+    for bad in ("data", "data=0", "data=2,", "=4", "data=x"):
+        with pytest.raises(ValueError, match="mesh axis"):
+            parse_mesh_argument(bad)
+
+
+def test_serve_mesh_rejects_quantize(monkeypatch):
+    """--mesh + --quantize must fail loudly BEFORE loading weights (the
+    W8A8 Pallas kernels do not partition under GSPMD)."""
+    from csm_mlx_tpu.cli import serve as serve_cli
+    import csm_mlx_tpu.cli.generate as gen_cli
+
+    monkeypatch.setattr(gen_cli, "parse_weight_argument",
+                        lambda w: (_ for _ in ()).throw(
+                            AssertionError("should fail before weights")))
+    parser = build_parser()
+    args = parser.parse_args(["serve", "--mesh", "data=1", "--quantize"])
+    with pytest.raises(SystemExit, match="quantize"):
+        serve_cli.run(args)
