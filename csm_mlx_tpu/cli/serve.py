@@ -72,6 +72,9 @@ def parse_mesh_argument(spec: str) -> "dict[str, int]":
             raise ValueError(
                 f"bad mesh axis {part!r} in --mesh {spec!r}; expected "
                 f"NAME=SIZE pairs like 'data=2,model=4'")
+        if name in axes:
+            raise ValueError(
+                f"duplicate mesh axis {name!r} in --mesh {spec!r}")
         axes[name] = int(size.strip())
     return axes
 
@@ -93,7 +96,10 @@ def run(args: argparse.Namespace) -> None:
             "--mesh is incompatible with --quantize: the W8A8 Pallas "
             "kernels do not partition under GSPMD; serve bf16 over "
             "the mesh instead")
-    mesh_axes = parse_mesh_argument(args.mesh) if args.mesh else None
+    try:
+        mesh_axes = parse_mesh_argument(args.mesh) if args.mesh else None
+    except ValueError as e:
+        raise SystemExit(f"csm-tpu serve: {e}")
 
     model_config = MODEL[args.model]
     weight = parse_weight_argument(args.weight)
@@ -111,7 +117,10 @@ def run(args: argparse.Namespace) -> None:
     if mesh_axes is not None:
         from csm_mlx_tpu.parallel import create_mesh, shard_model
 
-        mesh = create_mesh(mesh_axes)
+        try:
+            mesh = create_mesh(mesh_axes)
+        except ValueError as e:
+            raise SystemExit(f"csm-tpu serve: {e}")
         shard_model(csm, mesh)
 
     if args.continuous:

@@ -85,6 +85,18 @@ from csm_mlx_tpu.ops.rope import rope_cache_for
 logger = logging.getLogger(__name__)
 
 
+def _has_quantized_leaves(params: Any) -> bool:
+    """True if any module dict carries quantize_model's int8 structure
+    (a "weight_q" leaf) — the layout the W8A8 Pallas matmul serves."""
+    if isinstance(params, dict):
+        if "weight_q" in params:
+            return True
+        return any(_has_quantized_leaves(v) for v in params.values())
+    if isinstance(params, (list, tuple)):
+        return any(_has_quantized_leaves(v) for v in params)
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Jitted programs
 # ---------------------------------------------------------------------------
@@ -476,6 +488,15 @@ class ContinuousEngine:
                 "ContinuousEngine(mesh=...) uses the dispatched decode path; "
                 "drop the prepared resident-decoder tables "
                 "(model.params.pop('_resident')) or the mesh")
+        if mesh is not None and _has_quantized_leaves(model.params):
+            # Same failure mode as _resident for a programmatic caller that
+            # bypasses the CLI's --mesh/--quantize check: the W8A8 Pallas
+            # matmul doesn't partition under GSPMD, so the first step would
+            # die in compilation instead of at construction.
+            raise ValueError(
+                "ContinuousEngine(mesh=...) cannot serve W8A8-quantized "
+                "params: the quantized Pallas matmul does not partition "
+                "under GSPMD — serve bf16 over the mesh instead")
         self.max_frames = max_frames
         self.max_prompt_bucket = max_prompt_bucket
         self.frames_per_step = max(1, frames_per_step)
@@ -592,18 +613,26 @@ class ContinuousEngine:
             # The Mimi decode state is a nested pytree whose batch axes sit
             # at different positions per leaf (ring KV, conv tails, stream
             # starts). Identify each leaf's batch axis EXACTLY by diffing
-            # shapes against a probe state built at batch = n_slots + 1 —
-            # the axis that grew is the slot axis; leaves with no batch
-            # axis (position counters, filled flags) replicate.
-            probe = self._mimi.init_decode_state(
-                self.n_slots + 1, chunk_frames=self.frames_per_step)
+            # the shapes of two SMALL probe states (batch 1 vs batch 2 —
+            # never a second full-size state, which would transiently
+            # double decode-state memory at 48-slot construction): the
+            # first axis that grew is the slot axis; leaves with no batch
+            # axis (position counters, filled flags) replicate. Only one
+            # batch axis per leaf is assumed (true of every Mimi state
+            # leaf: batch never appears twice in a shape).
+            probe1 = self._mimi.init_decode_state(
+                1, chunk_frames=self.frames_per_step)
+            probe2 = self._mimi.init_decode_state(
+                2, chunk_frames=self.frames_per_step)
 
-            def put_leaf(x, px):
+            def put_leaf(x, pa, pb):
                 ax = next((i for i, (a, b) in enumerate(
-                    zip(np.shape(x), np.shape(px))) if a != b), None)
+                    zip(np.shape(pa), np.shape(pb))) if a != b), None)
                 return put(x, ax)
 
-            self._dec_state = jax.tree.map(put_leaf, self._dec_state, probe)
+            self._dec_state = jax.tree.map(
+                put_leaf, self._dec_state, probe1, probe2)
+            del probe1, probe2
 
     # -- submission ------------------------------------------------------
 

@@ -440,6 +440,13 @@ class ContinuousTTSServer:
         self.max_audio_length_ms = max_audio_length_ms
         self.watermark_key = watermark_key
         self.max_pending = max_pending
+        if engine is not None and mesh is not None:
+            # mesh is only forwarded into an internally constructed engine;
+            # silently ignoring it for a caller-supplied engine would serve
+            # unsharded while claiming multi-chip.
+            raise ValueError(
+                "pass mesh= to the ContinuousEngine constructor, not to "
+                "ContinuousTTSServer(engine=<existing>, mesh=...)")
         self.engine = engine or ContinuousEngine(
             model, n_slots=n_slots, max_frames=max_frames,
             max_prompt_bucket=max_prompt_bucket, temperature=temperature,

@@ -89,6 +89,9 @@ def test_serve_mesh_argument_parsing():
     for bad in ("data", "data=0", "data=2,", "=4", "data=x"):
         with pytest.raises(ValueError, match="mesh axis"):
             parse_mesh_argument(bad)
+    # A duplicate axis name would silently keep only the last size.
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_mesh_argument("data=2,data=2")
 
 
 def test_serve_mesh_rejects_quantize(monkeypatch):

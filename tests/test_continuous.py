@@ -566,6 +566,39 @@ def test_mesh_engine_rejects_resident_tables(model):
         model.params.pop("_resident", None)
 
 
+def test_mesh_engine_rejects_quantized_params(model):
+    """A programmatic caller bypassing the CLI's --mesh/--quantize check
+    must fail at construction, not in the first step's compile."""
+    from csm_mlx_tpu.parallel import create_mesh
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    # Simulate quantize_model's layout on one leaf module.
+    orig = model.params["projection"]
+    model.params["projection"] = {
+        "weight_q": jnp.zeros((4, 4), jnp.int8),
+        "scales": jnp.ones((4, 1)), "biases": jnp.zeros((4, 1))}
+    try:
+        with pytest.raises(ValueError, match="W8A8"):
+            ContinuousEngine(model, n_slots=4, codec=False, mesh=mesh)
+    finally:
+        model.params["projection"] = orig
+
+
+def test_server_rejects_engine_plus_mesh(model):
+    """ContinuousTTSServer(engine=<existing>, mesh=...) must not silently
+    ignore the mesh (it is only forwarded to an internal engine)."""
+    from csm_mlx_tpu.parallel import create_mesh
+    from csm_mlx_tpu.serve import ContinuousTTSServer
+
+    mesh = create_mesh({"data": 2, "model": 4})
+
+    class _FakeEngine:
+        has_codec = True
+
+    with pytest.raises(ValueError, match="mesh"):
+        ContinuousTTSServer(model, engine=_FakeEngine(), mesh=mesh)
+
+
 def test_mesh_engine_codec_state_shard_probe(model):
     """The Mimi decode-state probe placement finds each leaf's slot axis:
     the per-row stream starts shard over "data" while the shared position
