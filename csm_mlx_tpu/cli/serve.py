@@ -55,9 +55,10 @@ def add_parser(subparsers) -> None:
                    help="Multi-chip serving: mesh axes as 'data=2,model=4' "
                         "(sizes must multiply to the local device count). "
                         "Shards the model over 'model' and request rows / "
-                        "slots over 'data'. Incompatible with --quantize "
-                        "(the W8A8 Pallas kernels do not partition under "
-                        "GSPMD — serve bf16 over the mesh instead)")
+                        "slots over 'data'. Composes with --quantize: W8A8 "
+                        "matvecs run per-shard through shard_map over "
+                        "'model' (the single-chip VMEM-resident frame "
+                        "kernel is dropped — it does not partition)")
     p.set_defaults(func=run)
 
 
@@ -91,11 +92,6 @@ def run(args: argparse.Namespace) -> None:
     from csm_mlx_tpu.finetune.lora import load_adapters
     from csm_mlx_tpu.serve import ContinuousTTSServer, TTSServer, serve_http
 
-    if args.mesh and args.quantize:
-        raise SystemExit(
-            "--mesh is incompatible with --quantize: the W8A8 Pallas "
-            "kernels do not partition under GSPMD; serve bf16 over "
-            "the mesh instead")
     try:
         mesh_axes = parse_mesh_argument(args.mesh) if args.mesh else None
     except ValueError as e:

@@ -77,24 +77,13 @@ from csm_mlx_tpu.generation import (
     _resolve_sampler,
 )
 from csm_mlx_tpu.models.csm import CSM
+from csm_mlx_tpu.ops.act_sharding import sharding_ctx
 from csm_mlx_tpu.ops.attention import kv_bucket_for, kv_prefix_buckets
 from csm_mlx_tpu.ops.kv_cache import (KVCache, TieredKVCache,
                                       use_tiered_kv)
 from csm_mlx_tpu.ops.rope import rope_cache_for
 
 logger = logging.getLogger(__name__)
-
-
-def _has_quantized_leaves(params: Any) -> bool:
-    """True if any module dict carries quantize_model's int8 structure
-    (a "weight_q" leaf) — the layout the W8A8 Pallas matmul serves."""
-    if isinstance(params, dict):
-        if "weight_q" in params:
-            return True
-        return any(_has_quantized_leaves(v) for v in params.values())
-    if isinstance(params, (list, tuple)):
-        return any(_has_quantized_leaves(v) for v in params)
-    return False
 
 
 # ---------------------------------------------------------------------------
@@ -488,15 +477,11 @@ class ContinuousEngine:
                 "ContinuousEngine(mesh=...) uses the dispatched decode path; "
                 "drop the prepared resident-decoder tables "
                 "(model.params.pop('_resident')) or the mesh")
-        if mesh is not None and _has_quantized_leaves(model.params):
-            # Same failure mode as _resident for a programmatic caller that
-            # bypasses the CLI's --mesh/--quantize check: the W8A8 Pallas
-            # matmul doesn't partition under GSPMD, so the first step would
-            # die in compilation instead of at construction.
-            raise ValueError(
-                "ContinuousEngine(mesh=...) cannot serve W8A8-quantized "
-                "params: the quantized Pallas matmul does not partition "
-                "under GSPMD — serve bf16 over the mesh instead")
+        # W8A8-quantized params compose with the mesh: the engine installs
+        # the activation-sharding context around every program dispatch, so
+        # quantized decode matvecs route through the shard_map TP path
+        # (ops/quant.py::_quant_linear_tp) instead of the single-device
+        # Pallas kernel that GSPMD cannot partition.
         self.max_frames = max_frames
         self.max_prompt_bucket = max_prompt_bucket
         self.frames_per_step = max(1, frames_per_step)
@@ -708,11 +693,12 @@ class ContinuousEngine:
         for t in range(n):
             slot_i, (res, tk, m, pad, _b) = assignments[min(t, n_real - 1)]
             tokens[t], mask[t], pads[t], rows[t] = tk[0], m[0], pad, slot_i
-        outs = self._admit(
-            self.model.params, jnp.asarray(tokens), jnp.asarray(mask),
-            jnp.asarray(pads), jnp.asarray(rows),
-            self._frame, self._pad, self._cache, self._key, self._history,
-            self._dec_state)
+        with sharding_ctx(self.mesh):
+            outs = self._admit(
+                self.model.params, jnp.asarray(tokens), jnp.asarray(mask),
+                jnp.asarray(pads), jnp.asarray(rows),
+                self._frame, self._pad, self._cache, self._key,
+                self._history, self._dec_state)
         (self._frame, self._pad, self._cache, self._key, self._history,
          self._dec_state, f0, eos0) = outs
         for slot_i, (res, _tk, _m, pad, _b) in assignments:
@@ -757,11 +743,12 @@ class ContinuousEngine:
                                              self._kv_buckets)
                                or self.capacity)
         prov = [(s.prov_req, s.prov_seq) for s in self._slots]
-        outs = self._step(
-            self.model.params, self._frame, self._pad, self._cache,
-            self._key, self._history,
-            self._mimi.params if self._mimi is not None else None,
-            self._dec_state)
+        with sharding_ctx(self.mesh):
+            outs = self._step(
+                self.model.params, self._frame, self._pad, self._cache,
+                self._key, self._history,
+                self._mimi.params if self._mimi is not None else None,
+                self._dec_state)
         (self._frame, self._cache, self._key, self._history,
          self._dec_state, frames_h, chunks_h, eos_h) = outs
         self._idx += k
@@ -799,8 +786,9 @@ class ContinuousEngine:
                 # shift; multiples of w keep ring slots (pos % w) invariant.
                 shift = ((tok_idx - 2 * w) // w) * w
                 if shift > 0:  # tiny thresholds can make it <= 0
-                    self._dec_state = self._mimi_rebase(
-                        self._dec_state, jnp.asarray(shift, jnp.int32))
+                    with sharding_ctx(self.mesh):
+                        self._dec_state = self._mimi_rebase(
+                            self._dec_state, jnp.asarray(shift, jnp.int32))
                     self._mimi_rebased += shift
         at_max = self._idx + self.frames_per_step >= self.capacity
         live = [self._pads[i] for i, s in enumerate(self._slots)
@@ -825,8 +813,9 @@ class ContinuousEngine:
             raise RuntimeError(
                 "cache full with an unrebaseable row — max_frames/"
                 "capacity_slack misconfigured")
-        self._cache, self._pad = self._rebase(
-            self._cache, self._pad, jnp.asarray(shift, jnp.int32))
+        with sharding_ctx(self.mesh):
+            self._cache, self._pad = self._rebase(
+                self._cache, self._pad, jnp.asarray(shift, jnp.int32))
         self._idx -= shift
         self._pads = [max(p - shift, 0) for p in self._pads]
         self.stats.rebases += 1

@@ -748,9 +748,12 @@ def generate_tokens(
     )
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
-    frames, n = jax.device_get(
-        fn(model.params, *_place_inputs(mesh, tokens, mask, pad_len, key))
-    )
+    from csm_mlx_tpu.ops.act_sharding import sharding_ctx
+
+    with sharding_ctx(mesh):
+        frames, n = jax.device_get(
+            fn(model.params, *_place_inputs(mesh, tokens, mask, pad_len, key))
+        )
     n = int(n[0])
     return frames[:n, 0, :], n
 
@@ -800,9 +803,12 @@ def generate_tokens_batch(
     )
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
-    frames, n = jax.device_get(
-        fn(model.params, *_place_inputs(mesh, tokens, mask, pad_len, key))
-    )
+    from csm_mlx_tpu.ops.act_sharding import sharding_ctx
+
+    with sharding_ctx(mesh):
+        frames, n = jax.device_get(
+            fn(model.params, *_place_inputs(mesh, tokens, mask, pad_len, key))
+        )
     return frames, n
 
 

@@ -132,7 +132,7 @@ def _attn_layer(
         # per-call fixed cost that dominates M=1 decode matvecs on TPU.
         attn_dim = cfg.attn_dim
         kv_dim = cfg.num_key_value_heads * cfg.head_dim
-        qkv = linear(p["qkv_proj"], x)
+        qkv = linear(p["qkv_proj"], x, tp="out")
         q = qkv[..., :attn_dim].reshape(b, s, cfg.num_attention_heads,
                                         cfg.head_dim)
         k = qkv[..., attn_dim:attn_dim + kv_dim].reshape(
@@ -140,9 +140,9 @@ def _attn_layer(
         v = qkv[..., attn_dim + kv_dim:].reshape(
             b, s, cfg.num_key_value_heads, cfg.head_dim)
     else:
-        q = linear(p["q_proj"], x).reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
-        k = linear(p["k_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
-        v = linear(p["v_proj"], x).reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+        q = linear(p["q_proj"], x, tp="out").reshape(b, s, cfg.num_attention_heads, cfg.head_dim)
+        k = linear(p["k_proj"], x, tp="out").reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
+        v = linear(p["v_proj"], x, tp="out").reshape(b, s, cfg.num_key_value_heads, cfg.head_dim)
 
     # TP: heads shard over "model", batch over "data" (no-op without a mesh).
     q = constrain(q, "data", None, "model", None)
@@ -214,7 +214,7 @@ def _attn_layer(
     # o_proj contracts the head-sharded dim -> XLA inserts the all-reduce;
     # pin its input so the partitioner doesn't replicate the attention out.
     out = constrain(out, "data", None, "model")
-    return constrain(linear(p["o_proj"], out), "data", None, None), cache
+    return constrain(linear(p["o_proj"], out, tp="in"), "data", None, None), cache
 
 
 def llama_forward(

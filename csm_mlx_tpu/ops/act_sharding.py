@@ -45,6 +45,25 @@ def active_mesh():
     return _CTX["mesh"]
 
 
+def active_axis_names():
+    """(data_axis_name, model_axis_name) under the installed context —
+    the logical names may be renamed per-mesh via activation_sharding()."""
+    return _CTX["data"], _CTX["model"]
+
+
+def sharding_ctx(mesh):
+    """`activation_sharding(mesh)`, or a no-op context when mesh is None —
+    the one-liner generation/serving call sites wrap their jit dispatches
+    in (the context matters only while a program TRACES; wrapping every
+    dispatch is harmless and keeps the call sites oblivious to jit's cache
+    state)."""
+    if mesh is None:
+        from contextlib import nullcontext
+
+        return nullcontext()
+    return activation_sharding(mesh)
+
+
 def constrain(x: jax.Array, *axes: Optional[str]) -> jax.Array:
     """with_sharding_constraint(x, P(*axes)) under the installed mesh.
 

@@ -69,12 +69,20 @@ def _lora_delta(params: Params, x: jax.Array) -> jax.Array:
     return scale * z
 
 
-def linear(params: Params, x: jax.Array) -> jax.Array:
+def linear(params: Params, x: jax.Array,
+           tp: Optional[str] = None) -> jax.Array:
     """y = x @ W^T (+ b). W stored (out, in) like torch/MLX nn.Linear.
 
     Quantized dicts (weight_q) run the Pallas/XLA quant matmul; LoRA dicts
     (lora_a) add the low-rank adapter term. DoRA requires the dense weight
     (it renormalizes W + BA per row), so it goes through effective_weight.
+
+    `tp` is the caller's tensor-parallel layout hint ("out": output
+    channels shard over the mesh's "model" axis, "in": the contracted dim
+    does). Dense weights ignore it (GSPMD partitions einsums natively from
+    the param shardings); W8A8 dicts use it to route through the shard_map
+    kernel path (ops/quant.py::_quant_linear_tp) when an activation-
+    sharding mesh is installed.
     """
     if "weight_q" in params:
         if "dora_m" in params:
@@ -85,7 +93,7 @@ def linear(params: Params, x: jax.Array) -> jax.Array:
             )
         from csm_mlx_tpu.ops.quant import quant_linear
 
-        y = quant_linear(params, x)
+        y = quant_linear(params, x, tp=tp)
         if "lora_a" in params:
             y = y + _lora_delta(params, x).astype(y.dtype)
         return y
@@ -153,13 +161,13 @@ def swiglu_mlp(params: Dict[str, Params], x: jax.Array) -> jax.Array:
     from csm_mlx_tpu.ops.act_sharding import constrain
 
     if "gateup_proj" in params:
-        gu = linear(params["gateup_proj"], x)
+        gu = linear(params["gateup_proj"], x, tp="out")
         f = gu.shape[-1] // 2
         gate, up = gu[..., :f], gu[..., f:]
     else:
-        gate = linear(params["gate_proj"], x)
-        up = linear(params["up_proj"], x)
+        gate = linear(params["gate_proj"], x, tp="out")
+        up = linear(params["up_proj"], x, tp="out")
     # TP: the MLP hidden dim is sharded over "model" (gate/up out-dim rules
     # in parallel.mesh); pinning it keeps the silu*up elementwise ops local.
     hidden = constrain(jax.nn.silu(gate) * up, "data", None, "model")
-    return linear(params["down_proj"], hidden)
+    return linear(params["down_proj"], hidden, tp="in")

@@ -59,6 +59,18 @@ _CSM_TP_RULES: Tuple[Tuple[str, P], ...] = (
     # mlp: shard hidden dim
     (r".*mlp\.(gate_proj|up_proj|gateup_proj)\.weight$", P("model", None)),
     (r".*mlp\.down_proj\.weight$", P(None, "model")),
+    # W8A8 layouts (quantize_model mode="w8a8"): same geometry as the dense
+    # rules. Out-sharded projections shard their per-channel scales/biases
+    # with the codes; in-sharded (o/down) keep scales/biases replicated —
+    # the affine fixup applies once after the int32 all-reduce
+    # (ops/quant.py::_quant_linear_tp).
+    (r".*self_attn\.(q_proj|k_proj|v_proj|qkv_proj)\."
+     r"(weight_q|scales|biases)$", P("model", None)),
+    (r".*self_attn\.o_proj\.weight_q$", P(None, "model")),
+    (r".*mlp\.(gate_proj|up_proj|gateup_proj)\.(weight_q|scales|biases)$",
+     P("model", None)),
+    (r".*mlp\.down_proj\.weight_q$", P(None, "model")),
+    (r"codebook0_head\.(weight_q|scales|biases)$", P("model", None)),
     # output heads: shard vocab
     (r"codebook0_head\.weight$", P("model", None)),
     (r"audio_head$", P(None, None, "model")),
@@ -217,9 +229,13 @@ def shard_model(model: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
     `mesh=` to shard the batch axis; jit propagates the weight shardings and
     XLA inserts the collectives.
 
-    Tensor-parallel rules target the bf16 weight layout; quantize with
-    `fuse=False` (and prefer bf16) when tensor-sharding — the Pallas
-    quantized matvec is a single-device kernel.
+    Tensor-parallel rules cover both the bf16 layout and quantize_model's
+    W8A8 layout (weight_q/scales/biases) — quantized decode matvecs then
+    run per-shard through shard_map (ops/quant.py::_quant_linear_tp; the
+    Pallas kernel itself is a single-device program GSPMD cannot
+    partition). Fused qkv/gateup weights shard on the concatenated out
+    dim; GSPMD inserts reshards around the q/k/v split, so unfused
+    weights reshard less under TP.
 
     Derived "_"-prefixed param entries (e.g. the "_resident" frame-kernel
     tables, which assume a single-device decoder) are dropped: sharded

@@ -94,9 +94,18 @@ def test_serve_mesh_argument_parsing():
         parse_mesh_argument("data=2,data=2")
 
 
-def test_serve_mesh_rejects_quantize(monkeypatch):
-    """--mesh + --quantize must fail loudly BEFORE loading weights (the
-    W8A8 Pallas kernels do not partition under GSPMD)."""
+def test_serve_mesh_accepts_quantize():
+    """--mesh + --quantize must parse: W8A8 under a mesh runs per-shard
+    through shard_map (ops/quant.py::_quant_linear_tp) since round 4."""
+    parser = build_parser()
+    args = parser.parse_args(["serve", "--mesh", "data=2,model=4",
+                              "--quantize"])
+    assert args.mesh == "data=2,model=4" and args.quantize
+
+
+def test_serve_bad_mesh_exits_cleanly(monkeypatch):
+    """An invalid --mesh value must surface as a clean SystemExit (no raw
+    ValueError traceback) before weights are touched."""
     from csm_mlx_tpu.cli import serve as serve_cli
     import csm_mlx_tpu.cli.generate as gen_cli
 
@@ -104,6 +113,6 @@ def test_serve_mesh_rejects_quantize(monkeypatch):
                         lambda w: (_ for _ in ()).throw(
                             AssertionError("should fail before weights")))
     parser = build_parser()
-    args = parser.parse_args(["serve", "--mesh", "data=1", "--quantize"])
-    with pytest.raises(SystemExit, match="quantize"):
+    args = parser.parse_args(["serve", "--mesh", "data=oops"])
+    with pytest.raises(SystemExit, match="mesh axis"):
         serve_cli.run(args)

@@ -96,6 +96,45 @@ def test_tp_generation_matches_single_device():
     np.testing.assert_array_equal(got, want)
 
 
+def test_quantized_tp_generation_matches_solo_quantized():
+    """W8A8 under a mesh (VERDICT r3 item 2): quantized TP generation must
+    produce EXACTLY the solo-quantized greedy tokens. The decode matvecs
+    route through jax.shard_map over "model" (ops/quant.py::
+    _quant_linear_tp): out-sharded projections keep per-channel arithmetic
+    untouched, in-sharded ones all-reduce raw int32 partials (exact) before
+    the affine fixup — both bit-identical to the single-device mirror."""
+    from csm_mlx_tpu.generation import generate_tokens_batch
+    from csm_mlx_tpu.ops.quant import quantize_model
+    from csm_mlx_tpu.parallel import shard_model
+
+    model = CSM(tiny_args(), dtype=jnp.float32, rng=jax.random.PRNGKey(4))
+    model.params["audio_head"] = (
+        jax.random.normal(jax.random.PRNGKey(8),
+                          model.params["audio_head"].shape) * 0.1
+    )
+    quantize_model(model, mode="w8a8", min_size=1)
+    rng = np.random.RandomState(1)
+    k = model.args.n_audio_codebooks + 1
+    prompts = [rng.randint(0, 60, (10, k)).astype(np.int32)
+               for _ in range(2)]
+    masks = [np.ones_like(p) for p in prompts]
+
+    want, n_want = generate_tokens_batch(model, prompts, masks, 4,
+                                         temperature=0.0)
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    shard_model(model, mesh)
+    # The sharded quantized leaves actually landed sharded (not silently
+    # replicated by a rule gap).
+    wq = model.params["backbone"]["layers"][0]["self_attn"]["qkv_proj"][
+        "weight_q"]
+    assert "model" in str(wq.sharding.spec)
+    got, n_got = generate_tokens_batch(model, prompts, masks, 4,
+                                       temperature=0.0, mesh=mesh)
+    np.testing.assert_array_equal(n_got, n_want)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_single_prompt_generation_on_data_mesh():
     """B=1 generate_tokens on a data>1 mesh must replicate the batch dim
     rather than fail device_put's divisibility check."""
