@@ -97,14 +97,13 @@ def compute_loss(
     # (ops/flash_train.py): no (B,H,S,S) fp32 logits in HBM in either pass —
     # ~2 GB/layer saved at the reference's max window (S=2048, B=4). The
     # dataset right-pads, so pure causal masking (in-kernel) is exact here.
-    # CSM_TPU_FLASH_TRAIN = minimum S to engage (0 disables). Pallas kernels
-    # don't partition under GSPMD, so an active activation-sharding mesh
-    # (TP training) keeps the einsum path.
-    from csm_mlx_tpu.ops.act_sharding import active_mesh
-
+    # CSM_TPU_FLASH_TRAIN = minimum S to engage (0 disables). Under an
+    # activation-sharding mesh the kernels run inside shard_map (batch over
+    # "data", kv heads over "model"; flash_attention wraps itself) — the
+    # multi-chip long-sequence runs that most need the memory win no longer
+    # fall back to the einsum path.
     flash_min = int(os.environ.get("CSM_TPU_FLASH_TRAIN", "512"))
-    use_flash = (flash_min > 0 and (s - 1) >= flash_min
-                 and active_mesh() is None)
+    use_flash = flash_min > 0 and (s - 1) >= flash_min
     hidden, _ = llama_forward(
         params["backbone"], bcfg, backbone_input, cos_b, sin_b,
         jnp.arange(s - 1)[None],
