@@ -49,10 +49,14 @@ def _mirror_mv(x, qp_q, sz):
             + sz[1:2] * jnp.sum(x))
 
 
-def _mirror_frame(res, args, proj01, kv_dtype=jnp.float32):
+def _mirror_frame(res, args, proj01, kv_dtype=jnp.float32,
+                  vpu_rope=True, merged_attn=True, int8_head=True):
     """Greedy whole-frame reference in plain jnp (no Pallas). `kv_dtype`
     models the kernel's KV scratch dtype (bf16 past b=8): stores round
-    through it, reads widen back to f32 — exactly the kernel's casts."""
+    through it, reads widen back to f32 — exactly the kernel's casts.
+    `vpu_rope`/`merged_attn` mirror the round-4 kernel variants (elementwise
+    roll-based RoPE; one score/AV dot over the group-flattened KV) — both
+    default on, matching `_kernel_opts` at b<=8."""
     dcfg = args.decoder_config
     n_cb, v = args.n_audio_codebooks, args.n_audio_vocab
     heads, n_kv, hd = (dcfg.num_attention_heads, dcfg.num_key_value_heads,
@@ -60,15 +64,24 @@ def _mirror_frame(res, args, proj01, kv_dtype=jnp.float32):
     attn_d, kvd, group = heads * hd, n_kv * hd, heads // n_kv
     eps = dcfg.rms_norm_eps
     rot = np.asarray(res["rot"])
-    if kv_dtype != jnp.float32:
-        # Past b=8 the kernel ships the rotation table as bf16 and widens
-        # on load — model the rounding.
+    if kv_dtype != jnp.float32 and not vpu_rope:
+        # Past b=8 the kernel ships the rotation-matrix table as bf16 and
+        # widens on load — model the rounding. (The vpu_rope cos/sin table
+        # is tiny and always f32.)
         rot = rot.astype(jnp.bfloat16).astype(np.float32)
+    cs = np.asarray(res["rope_cs"])  # (cap, 3, hd)
     v_pad = res["audio_head"].shape[-1]
 
     def rms(x, g):
         rr = jax.lax.rsqrt(jnp.mean(x * x) + eps)
         return x * rr * g
+
+    def rope(x, s):  # x: (rows, hd)
+        if vpu_rope:
+            return (x * cs[s, 0][None, :]
+                    + jnp.roll(x, -1, axis=1) * cs[s, 1][None, :]
+                    + jnp.roll(x, 1, axis=1) * cs[s, 2][None, :])
+        return x @ rot[s]
 
     kc = jnp.zeros((len(res["layers"]), n_cb, kvd), kv_dtype)
     vc = jnp.zeros_like(kc)
@@ -83,22 +96,35 @@ def _mirror_frame(res, args, proj01, kv_dtype=jnp.float32):
             ln1, qkv_q, qkv_sz, o_q, o_sz, ln2, gu_q, gu_sz, dn_q, dn_sz = lw
             h = rms(x, ln1)
             qkv = _mirror_mv(h, qkv_q, qkv_sz)
-            q = qkv[:, :attn_d].reshape(heads, hd) @ rot[s]
-            k = qkv[:, attn_d:attn_d + kvd].reshape(n_kv, hd) @ rot[s]
+            q = rope(qkv[:, :attn_d].reshape(heads, hd), s)
+            k = rope(qkv[:, attn_d:attn_d + kvd].reshape(n_kv, hd), s)
             val = qkv[:, attn_d + kvd:]
             kc = kc.at[li, s].set(k.reshape(kvd).astype(kv_dtype))
             vc = vc.at[li, s].set(val.reshape(kvd).astype(kv_dtype))
-            outs = []
-            lanes = jnp.arange(n_cb)
-            for g in range(n_kv):
-                qg = q[g * group:(g + 1) * group]
-                kg = kc[li][:, g * hd:(g + 1) * hd].astype(jnp.float32)
-                sc = (qg @ kg.T) * (hd ** -0.5)
-                sc = jnp.where(lanes[None, :] <= s, sc, -1e30)
+            if merged_attn:
+                # one dot over the (n_cb*n_kv, hd) flattened KV; ownership
+                # mask keeps each head's own kv-group columns
+                kall = kc[li].astype(jnp.float32).reshape(n_cb * n_kv, hd)
+                vall = vc[li].astype(jnp.float32).reshape(n_cb * n_kv, hd)
+                j = jnp.arange(n_cb * n_kv)
+                hg = (jnp.arange(heads) // group)[:, None]
+                keep = (j[None, :] % n_kv == hg) & (j[None, :] // n_kv <= s)
+                sc = (q @ kall.T) * (hd ** -0.5)
+                sc = jnp.where(keep, sc, -1e30)
                 p = jax.nn.softmax(sc, axis=-1)
-                outs.append(
-                    p @ vc[li][:, g * hd:(g + 1) * hd].astype(jnp.float32))
-            a = jnp.concatenate(outs, axis=0).reshape(1, attn_d)
+                a = (p @ vall).reshape(1, attn_d)
+            else:
+                outs = []
+                lanes = jnp.arange(n_cb)
+                for g in range(n_kv):
+                    qg = q[g * group:(g + 1) * group]
+                    kg = kc[li][:, g * hd:(g + 1) * hd].astype(jnp.float32)
+                    sc = (qg @ kg.T) * (hd ** -0.5)
+                    sc = jnp.where(lanes[None, :] <= s, sc, -1e30)
+                    p = jax.nn.softmax(sc, axis=-1)
+                    outs.append(p @ vc[li][:, g * hd:(g + 1) * hd].astype(
+                        jnp.float32))
+                a = jnp.concatenate(outs, axis=0).reshape(1, attn_d)
             x = x + _mirror_mv(a, o_q, o_sz)
             h2 = rms(x, ln2)
             gu = _mirror_mv(h2, gu_q, gu_sz)
@@ -107,10 +133,21 @@ def _mirror_frame(res, args, proj01, kv_dtype=jnp.float32):
             x = x + _mirror_mv(act, dn_q, dn_sz)
         h = rms(x, res["norm"])
         if s >= 1:
-            head = res["audio_head"][s - 1]  # (d, v_pad) bf16
-            logits = jax.lax.dot_general(
-                h.astype(jnp.bfloat16), head, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if int8_head:
+                hq_tab = res["audio_head_q"][s - 1]   # (d, v_pad) int8
+                sc = res["audio_head_s"][s - 1]       # (1, v_pad) f32
+                hab = jnp.maximum(jnp.max(jnp.abs(h)), 1e-6)
+                hq = jnp.clip(jnp.round(h * (127.0 / hab)),
+                              -127, 127).astype(jnp.int8)
+                logits = (jax.lax.dot_general(
+                    hq, hq_tab, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                    * sc * (hab / 127.0))
+            else:
+                head = res["audio_head"][s - 1]  # (d, v_pad) bf16
+                logits = jax.lax.dot_general(
+                    h.astype(jnp.bfloat16), head, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             logits = jnp.where(jnp.arange(v_pad)[None, :] < v, logits, -1e30)
             toks[s] = int(jnp.argmax(logits[0]))
     return toks
@@ -132,6 +169,49 @@ def test_kernel_matches_mirror(quant_model):
     assert int(toks[0, 0]) == 0
     np.testing.assert_array_equal(np.asarray(toks)[1:, 0],
                                   np.asarray(expect, np.int32)[1:])
+
+
+def test_classic_kernel_matches_classic_mirror(quant_model, monkeypatch):
+    """The round-3 kernel (no variants) stays correct behind
+    CSM_TPU_RESIDENT_OPTS=classic."""
+    monkeypatch.setenv("CSM_TPU_RESIDENT_OPTS", "classic")
+    model = quant_model
+    res = model.params["_resident"]
+    proj01 = jax.random.normal(
+        jax.random.PRNGKey(17),
+        (2, model.args.decoder_config.hidden_size)) * 0.3
+    seed = jnp.zeros((1,), jnp.int32)
+
+    toks = resident_decode_frame(res, model.args, proj01[:, None, :],
+                                 seed, 0.0)
+    expect = _mirror_frame(res, model.args, proj01,
+                           vpu_rope=False, merged_attn=False,
+                           int8_head=False)
+    np.testing.assert_array_equal(np.asarray(toks)[1:, 0],
+                                  np.asarray(expect, np.int32)[1:])
+
+
+def test_single_opt_variants_match_their_mirrors(quant_model, monkeypatch):
+    """Each kernel variant is independently correct (the A/B bench relies
+    on toggling them one at a time)."""
+    model = quant_model
+    res = model.params["_resident"]
+    proj01 = jax.random.normal(
+        jax.random.PRNGKey(19),
+        (2, model.args.decoder_config.hidden_size)) * 0.3
+    seed = jnp.zeros((1,), jnp.int32)
+    base = dict(vpu_rope=False, merged_attn=False, int8_head=False)
+    for opt, kw in (("vpu_rope", base | dict(vpu_rope=True)),
+                    ("merged_attn", base | dict(merged_attn=True)),
+                    ("dma_weights", dict(base)),
+                    ("int8_head", base | dict(int8_head=True))):
+        monkeypatch.setenv("CSM_TPU_RESIDENT_OPTS", opt)
+        toks = resident_decode_frame(res, model.args, proj01[:, None, :],
+                                     seed, 0.0)
+        expect = _mirror_frame(res, model.args, proj01, **kw)
+        np.testing.assert_array_equal(np.asarray(toks)[1:, 0],
+                                      np.asarray(expect, np.int32)[1:],
+                                      err_msg=f"variant {opt}")
 
 
 def test_kernel_batch_rows_independent(quant_model):
@@ -168,8 +248,9 @@ def test_kernel_batch16_bf16_kv_matches_mirror(quant_model):
         res, model.args, rows.transpose(1, 0, 2), seed, 0.0)  # (n_cb, 16)
     assert batched.shape == (model.args.n_audio_codebooks, 16)
     for bi in (0, 7, 15):
+        # b=16 > 8: merged_attn auto-disables (VMEM); vpu_rope stays on
         expect = _mirror_frame(res, model.args, rows[bi],
-                               kv_dtype=jnp.bfloat16)
+                               kv_dtype=jnp.bfloat16, merged_attn=False)
         np.testing.assert_array_equal(np.asarray(batched)[1:, bi],
                                       np.asarray(expect, np.int32)[1:])
 
@@ -186,6 +267,8 @@ def test_prepared_tables_shapes(quant_model):
         (args.n_audio_codebooks - 2) * v, 1, dcfg.hidden_size)
     assert res["rot"].shape == (
         args.n_audio_codebooks, dcfg.head_dim, dcfg.head_dim)
+    assert res["rope_cs"].shape == (
+        args.n_audio_codebooks, 3, dcfg.head_dim)
     assert len(res["layers"]) == dcfg.num_hidden_layers
 
 
