@@ -17,6 +17,10 @@ states stop hoisting):
 
 Run on TPU: python benchmarks/micro_mimi_decode.py [arm ...]
 Env: MIMI_B=48 MIMI_F=8 MIMI_REPS=32
+     MIMI_QUANT=seanet,transformer  quantize the decode path (W8A8, see
+     models/mimi/quant.py) before timing
+     MIMI_QUANT_AB=1  build f32 AND quantized param trees, time the arms
+     interleaved A/B in one process (the only drift-safe comparison)
 """
 
 import os
@@ -45,6 +49,80 @@ def _time(jfn, *args):
         jax.device_get(jfn(*args))
         best = min(best, time.perf_counter() - t0)
     return compile_s, best
+
+
+def quant_ab(jax, jnp, mimi):
+    """Interleaved A/B of the full block decode: f32 vs W8A8-quantized
+    param trees (same decode-state dtype, same codes), REPS blocks chained
+    per program. Reports ms/block per arm + the parity of the two decodes
+    on one un-chained block (rel RMSE)."""
+    import copy
+
+    from csm_mlx_tpu.models.mimi.mimi import mimi_decode_step_fn
+    from csm_mlx_tpu.models.mimi.quant import quantize_mimi_decoder
+
+    cfg = mimi.cfg
+    p_f32 = mimi.params
+    arms = {"f32": p_f32}
+    for tgt in ("seanet", "transformer", "seanet,transformer"):
+        m2 = copy.copy(mimi)
+        # tree_map rebuilds every container (same array leaves), so
+        # quantization's in-place container edits can't alias the f32 tree
+        m2.params = jax.tree_util.tree_map(lambda a: a, p_f32)
+        quantize_mimi_decoder(m2, targets=tuple(tgt.split(",")))
+        arms[f"w8a8:{tgt}"] = m2.params
+
+    codes = jnp.asarray(
+        np.random.RandomState(0).randint(0, cfg.codebook_size, (B, 32, F)),
+        jnp.int32)
+    dec0 = mimi.init_decode_state(B, chunk_frames=F)
+
+    def make(params):
+        @jax.jit
+        def run(p, c, st0):
+            def body(carry, _):
+                x, st = carry
+                y, st = mimi_decode_step_fn(p, cfg, x, st)
+                bump = (jnp.mean(y.astype(jnp.float32)) > 1e30).astype(
+                    x.dtype)
+                return ((x + 1 + bump) % cfg.codebook_size, st), jnp.mean(y)
+
+            (_, _), ys = jax.lax.scan(body, (c, st0), None, length=REPS)
+            return jnp.sum(ys)
+
+        jax.device_get(run(params, codes, dec0))  # compile + warm
+        return lambda: jax.device_get(run(params, codes, dec0))
+
+    fns = {}
+    for name, p in arms.items():
+        t0 = time.perf_counter()
+        fns[name] = make(p)
+        print(f"built {name!r} in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+
+    results = {k: [] for k in fns}
+    for r in range(int(os.environ.get("ROUNDS", "4"))):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            fn()
+            results[name].append((time.perf_counter() - t0) / REPS * 1e3)
+        print(f"round {r}: " + "  ".join(
+            f"{k}={results[k][-1]:.2f}" for k in fns), flush=True)
+    print(f"\nB={B} F={F}, ms/block (best | median):")
+    for name, vals in results.items():
+        v = sorted(vals)
+        print(f"  {name:24s} {v[0]:6.2f} | {v[len(v) // 2]:6.2f}")
+
+    # parity: one block, same state, f32 vs full quant
+    one = jax.jit(lambda p, c, st: mimi_decode_step_fn(p, cfg, c, st)[0])
+    a = np.asarray(jax.device_get(one(arms["f32"], codes, dec0)),
+                   np.float32)
+    b = np.asarray(jax.device_get(
+        one(arms["w8a8:seanet,transformer"], codes, dec0)), np.float32)
+    rel = float(np.sqrt(np.mean((a - b) ** 2)) /
+                (np.sqrt(np.mean(a ** 2)) + 1e-12))
+    print(f"one-block decode rel RMSE quant-vs-f32: {rel:.4f} "
+          f"(random weights)")
 
 
 def main():
@@ -76,6 +154,15 @@ def main():
             lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
         mimi.params = params
         mimi.dtype = dt
+    if os.environ.get("MIMI_QUANT"):
+        from csm_mlx_tpu.models.mimi.quant import quantize_mimi_decoder
+
+        quantize_mimi_decoder(
+            mimi, targets=tuple(os.environ["MIMI_QUANT"].split(",")))
+        params = mimi.params
+    if os.environ.get("MIMI_QUANT_AB", "0") == "1":
+        quant_ab(jax, jnp, mimi)
+        return
     want = sys.argv[1:] or ["rvq", "upsample", "transformer", "seanet",
                             "full"]
 

@@ -48,6 +48,10 @@ def add_parser(subparsers) -> None:
                    help="Continuous batching: per-slot admission into one "
                         "always-running batched frame loop (finished rows "
                         "recycle immediately; best under mixed lengths)")
+    p.add_argument("--quantize-codec", action="store_true",
+                   help="Continuous mode: W8A8 Mimi decode path (int8 "
+                        "SEANet convs + codec-transformer linears on the "
+                        "MXU; adds codec quantization noise only)")
     p.add_argument("--slots", type=int, default=48,
                    help="Continuous mode: concurrent generation slots "
                         "(48 measured 1.48x over 16, benchmarks/slots_ab.py)")
@@ -119,13 +123,17 @@ def run(args: argparse.Namespace) -> None:
             raise SystemExit(f"csm-tpu serve: {e}")
         shard_model(csm, mesh)
 
+    if args.quantize_codec and not args.continuous:
+        raise SystemExit(
+            "csm-tpu serve: --quantize-codec requires --continuous "
+            "(the lockstep server decodes through the shared f32 codec)")
     if args.continuous:
         server = ContinuousTTSServer(
             csm, n_slots=args.slots,
             max_audio_length_ms=args.max_audio_length,
             temperature=args.temperature, watermark_key=args.watermark_key,
             max_pending=args.max_pending, transfer=args.transfer,
-            mesh=mesh,
+            quantize_codec=args.quantize_codec, mesh=mesh,
         )
     else:
         server = TTSServer(

@@ -53,6 +53,7 @@ the same tokens as `generate_tokens` run alone).
 
 from __future__ import annotations
 
+import copy as _copy
 import dataclasses
 import logging
 import queue
@@ -455,6 +456,7 @@ class ContinuousEngine:
         sampler: Optional[Any] = None,
         logits_processors: Optional[Sequence] = None,
         codec: bool = True,
+        quantize_codec: bool = False,
         frames_per_step: int = 8,
         pipeline_depth: int = 2,
         transfer: str = "float32",  # "int16": device-side PCM16 chunk
@@ -502,12 +504,28 @@ class ContinuousEngine:
         smp = _resolve_sampler(temperature, sampler)
         procs = tuple(logits_processors or ())
         self._mimi = None
+        self._mimi_params = None
         mimi_cfg = None
         if codec:
             from csm_mlx_tpu.tokenizers import get_audio_tokenizer
 
             self._mimi = get_audio_tokenizer(args.n_audio_codebooks)
             mimi_cfg = self._mimi.cfg
+            self._mimi_params = self._mimi.params
+            if quantize_codec:
+                # W8A8 decode path (models/mimi/quant.py) on a PRIVATE copy
+                # of the param tree: get_audio_tokenizer is a process-wide
+                # cached instance, and its encode path (prompt/context
+                # encodes, parity gates) must stay exact f32.
+                from csm_mlx_tpu.models.mimi.quant import (
+                    quantize_mimi_decoder,
+                )
+
+                holder = _copy.copy(self._mimi)
+                holder.params = jax.tree_util.tree_map(
+                    lambda a: a, self._mimi.params)
+                quantize_mimi_decoder(holder)
+                self._mimi_params = holder.params
         if transfer not in ("float32", "int16"):
             raise ValueError(f"transfer must be 'float32' or 'int16', "
                              f"got {transfer!r}")
@@ -747,7 +765,7 @@ class ContinuousEngine:
             outs = self._step(
                 self.model.params, self._frame, self._pad, self._cache,
                 self._key, self._history,
-                self._mimi.params if self._mimi is not None else None,
+                self._mimi_params,
                 self._dec_state)
         (self._frame, self._cache, self._key, self._history,
          self._dec_state, frames_h, chunks_h, eos_h) = outs

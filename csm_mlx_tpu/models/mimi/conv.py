@@ -30,6 +30,16 @@ import jax.numpy as jnp
 Params = Dict[str, jax.Array]
 
 
+def _quant_act(x: jax.Array):
+    """Per-batch-row dynamic int8 activation quant for W8A8 convs: one scale
+    over the whole (C, T) chunk — the conv reduction window spans channels
+    AND taps, so every element it sums must share a scale."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True), 1e-6)
+    xq = jnp.clip(jnp.round(xf * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    return xq, amax * (1.0 / 127.0)
+
+
 def conv1d(
     params: Params,
     x: jax.Array,
@@ -38,7 +48,30 @@ def conv1d(
     dilation: int = 1,
     groups: int = 1,
 ) -> jax.Array:
-    """Plain (non-causal, 'valid') conv. x: (B, C_in, T); w: (C_out, C_in/g, K)."""
+    """Plain (non-causal, 'valid') conv. x: (B, C_in, T); w: (C_out, C_in/g, K).
+
+    A quantized param dict ({"weight_q" (C_out, C_in, K) int8, "scales"
+    (C_out,)}, from models.mimi.quant) runs int8 x int8 -> int32 on the MXU
+    with symmetric per-out-channel dequant (w ~ s_o q, so
+    out = s_o * (absmax/127) * int_out + bias)."""
+    if "weight_q" in params:
+        if groups != 1:
+            raise ValueError("quantized conv1d supports groups=1 only")
+        xq, inv_xs = _quant_act(x)
+        out = jax.lax.conv_general_dilated(
+            xq,
+            params["weight_q"],
+            window_strides=(stride,),
+            padding="VALID",
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.int32,
+        )
+        out = (out.astype(jnp.float32)
+               * params["scales"].astype(jnp.float32)[None, :, None] * inv_xs)
+        if "bias" in params:
+            out = out + params["bias"].astype(jnp.float32)[None, :, None]
+        return out.astype(x.dtype)
     w = params["weight"].astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
@@ -67,7 +100,9 @@ def causal_conv1d(
     dilation: int = 1,
     groups: int = 1,
 ) -> jax.Array:
-    pad = causal_pad_amount(params["weight"].shape[-1], stride, dilation)
+    pad = causal_pad_amount(
+        params.get("weight_q", params.get("weight")).shape[-1], stride,
+        dilation)
     x = jnp.pad(x, ((0, 0), (0, 0), (pad, 0)))
     return conv1d(params, x, stride=stride, dilation=dilation, groups=groups)
 
@@ -81,9 +116,13 @@ def conv_transpose1d(
 ) -> jax.Array:
     """Full transposed conv; x: (B, C_in, T) -> (B, C_out, (T-1)*stride + K).
 
-    Weight layout (C_in, C_out/groups, K) (torch ConvTranspose1d).
+    Weight layout (C_in, C_out/groups, K) (torch ConvTranspose1d). Quantized
+    dicts (weight_q int8 in the same layout + per-C_out symmetric scales)
+    run the identical flip/reshape on the codes and the conv in
+    int8 x int8 -> int32 (see conv1d).
     """
-    w = params["weight"]
+    quant = "weight_q" in params
+    w = params["weight_q"] if quant else params["weight"]
     c_in, c_out_g, k = w.shape
     # Expressed as dilated scatter + forward conv with flipped kernel — the
     # textbook transposed-conv identity; handles groups uniformly (Mimi's
@@ -94,6 +133,25 @@ def conv_transpose1d(
     c_out = c_out_g * groups
     wf = wf.reshape(groups, c_in // groups, c_out_g, k)
     wf = wf.transpose(0, 2, 1, 3).reshape(c_out, c_in // groups, k)
+    if quant:
+        if groups != 1:
+            raise ValueError("quantized conv-transpose supports groups=1 "
+                             "only")
+        xq, inv_xs = _quant_act(x)
+        out = jax.lax.conv_general_dilated(
+            xq,
+            wf,
+            window_strides=(1,),
+            padding=[(k - 1, k - 1)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.int32,
+        )
+        out = (out.astype(jnp.float32)
+               * params["scales"].astype(jnp.float32)[None, :, None] * inv_xs)
+        if "bias" in params:
+            out = out + params["bias"].astype(jnp.float32)[None, :, None]
+        return out.astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
         wf.astype(x.dtype),
@@ -156,7 +214,9 @@ def causal_conv1d_streaming(
         raise ValueError(
             f"streamed conv chunk length {x.shape[-1]} must be a multiple "
             f"of stride {stride}")
-    pad = causal_pad_amount(params["weight"].shape[-1], stride, dilation)
+    pad = causal_pad_amount(
+        params.get("weight_q", params.get("weight")).shape[-1], stride,
+        dilation)
     if pad == 0:
         return conv1d(params, x, stride=stride, dilation=dilation, groups=groups), state
     buf = jnp.concatenate([state.prev, x], axis=-1)
@@ -204,13 +264,16 @@ def causal_conv_transpose1d_streaming(
     per output sample (it is added by conv_transpose1d on the emitted part;
     the carried tail keeps only the linear part).
     """
-    w = params["weight"]
+    w = params.get("weight_q", params.get("weight"))
     k = w.shape[-1]
     tail = k - stride
     bias = params.get("bias")
+    # no bias yet (added once per emitted sample below); quant fields pass
+    # through so the streamed path hits the same int8 conv as the batch one
+    p_nobias = {kk: vv for kk, vv in params.items() if kk != "bias"}
     full = conv_transpose1d(
-        {"weight": w}, x, stride=stride, groups=groups
-    )  # no bias yet: (B, C_out, (T-1)*stride + K)
+        p_nobias, x, stride=stride, groups=groups
+    )  # (B, C_out, (T-1)*stride + K)
     t_out = x.shape[-1] * stride
     if tail > t_out:
         # The overlap-add below assumes the carried tail fits inside this

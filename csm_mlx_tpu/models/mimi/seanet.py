@@ -59,7 +59,7 @@ def _causal_conv_batch(
     p: Params, x: jax.Array, stride: int, dilation: int = 1, groups: int = 1,
     pad_mode: str = "constant",
 ) -> jax.Array:
-    k = p["weight"].shape[-1]
+    k = p.get("weight_q", p.get("weight")).shape[-1]
     # Causal padding per HF: left = padding_total = eff_k - stride.
     eff_k = (k - 1) * dilation + 1
     left = eff_k - stride
@@ -112,11 +112,11 @@ def seanet_decoder_init_state(
     states: List[Any] = []
 
     def conv_state(p, stride=1, dilation=1):
-        c_out, c_in, k = p["weight"].shape
+        c_out, c_in, k = p.get("weight_q", p.get("weight")).shape
         states.append(make_conv_state(c_in, k, stride, dilation, batch, dtype))
 
     def convtr_state(p, stride):
-        c_in, c_out, k = p["weight"].shape
+        c_in, c_out, k = p.get("weight_q", p.get("weight")).shape
         states.append(make_convtr_state(c_out, k, stride, batch, dtype))
 
     conv_state(params["init"])
@@ -164,7 +164,7 @@ def seanet_encoder_init_state(
     states: List[Any] = []
 
     def conv_state(p, stride=1, dilation=1):
-        c_out, c_in, k = p["weight"].shape
+        c_out, c_in, k = p.get("weight_q", p.get("weight")).shape
         states.append(make_conv_state(c_in, k, stride, dilation, batch, dtype))
 
     conv_state(params["init"])

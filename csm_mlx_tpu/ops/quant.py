@@ -428,12 +428,16 @@ def quant_linear(params: Dict[str, Any], x: jax.Array,
                 xf, params["weight_q"], params["scales"], params["biases"],
                 bits=bits, group_size=group_size,
             )
-    elif (use_pallas and small_batch and is_w8a8 and bits == 8
-          and jax.default_backend() == "cpu"):
-        # CPU decode path: the exact arithmetic mirror of the TPU kernel,
-        # NOT the dequant einsum — virtual-mesh tests then compare the
-        # same W8A8 semantics solo and sharded (use_pallas=False keeps
-        # the dequant einsum as an explicit reference path).
+    elif use_pallas and is_w8a8 and bits == 8:
+        # Everything else W8A8 runs the exact XLA arithmetic mirror of the
+        # TPU kernel: (a) the CPU decode path — virtual-mesh tests then
+        # compare the same W8A8 semantics solo and sharded; (b) LARGE-batch
+        # rows (Mimi codec transformer at B*S ~ 768, dispatched decode past
+        # the small-batch gate) — int8 x int8 -> int32 XLA dots on the MXU
+        # instead of materializing a dequantized f32 weight (4x slower,
+        # round-1 envelope), and the quantization semantics stop depending
+        # on the batch size. use_pallas=False keeps the dequant einsum as
+        # an explicit reference path.
         y = _xla_w8a8_matvec(xf, params["weight_q"], params["scales"],
                              params["biases"])
     else:

@@ -429,6 +429,8 @@ class ContinuousTTSServer:
         transfer: str = "int16",  # measured 1.39x over float32
                                   # (benchmarks/slots_ab.py TRANSFER_A/B);
                                   # lossless for the PCM16 HTTP endpoints
+        quantize_codec: bool = False,  # W8A8 Mimi decode path
+                                       # (models/mimi/quant.py)
         mesh: Optional[Any] = None,  # TP/DP serving: pass after
                                      # parallel.shard_model(model, mesh)
     ):
@@ -450,7 +452,8 @@ class ContinuousTTSServer:
         self.engine = engine or ContinuousEngine(
             model, n_slots=n_slots, max_frames=max_frames,
             max_prompt_bucket=max_prompt_bucket, temperature=temperature,
-            sampler=sampler, codec=True, transfer=transfer, mesh=mesh)
+            sampler=sampler, codec=True, transfer=transfer,
+            quantize_codec=quantize_codec, mesh=mesh)
         if not getattr(self.engine, "has_codec", False):
             # A codec-less engine completes every request "successfully"
             # with zero-length audio — fail construction loudly instead.

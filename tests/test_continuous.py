@@ -176,6 +176,39 @@ def test_submit_after_engine_death_raises(model):
         eng.submit_prompt(p, m)
 
 
+def test_quantized_codec_engine_close_to_f32(model):
+    """quantize_codec=True: same greedy tokens (generation untouched), audio
+    differs from the f32-codec engine only by W8A8 decode quantization
+    noise; the process-wide cached tokenizer stays unquantized (its encode
+    and any other decode users must remain exact f32)."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    p, m = _prompt(model.args, 5, seed=6)
+
+    eng_q = _engine(model, n_slots=1, codec=True, quantize_codec=True)
+    rq = eng_q.submit_prompt(p, m, max_frames=3)
+    eng_q.run_until_idle()
+    aq = rq.audio()
+    toks_q = rq.wait(0)
+
+    eng_f = _engine(model, n_slots=1, codec=True)
+    rf = eng_f.submit_prompt(p, m, max_frames=3)
+    eng_f.run_until_idle()
+    af = rf.audio()
+
+    np.testing.assert_array_equal(toks_q, rf.wait(0))
+    assert aq.shape == af.shape
+    rel = float(np.sqrt(np.mean((aq - af) ** 2))
+                / (np.sqrt(np.mean(af ** 2)) + 1e-12))
+    assert 0 < rel < 0.15, rel
+
+    mimi = tok_mod.get_audio_tokenizer(model.args.n_audio_codebooks)
+    assert "weight_q" not in mimi.params["decoder"]["init"]
+    assert "weight_q" in eng_q._mimi_params["decoder"]["init"]
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
 def test_audio_and_chunks_consumable_repeatedly(model):
     """The end sentinel is re-enqueued so a second consumer (audio() after
     a chunks() loop, or audio() twice) terminates instead of hanging."""
