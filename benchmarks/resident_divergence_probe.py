@@ -24,6 +24,21 @@ steps with gap/spread ~ 1 (the kernel's token ranks arbitrarily).
 
 Run on TPU: python benchmarks/resident_divergence_probe.py
 Env: PROBE_FRAMES=64 PROBE_BATCHES=1,16
+
+PROBE_MARGIN=1 runs the margin sweep instead (VERDICT r3 item 6): the
+round-3 probe measured a 9.8%/step flip rate on RANDOM weights —
+near-uniform logits whose top-2 spread (~0.19) sits at the same scale as
+the two paths' fp noise (~0.02-0.05 at flips) — and *asserted* that
+trained-weight margins make this benign. The sweep measures that claim:
+argmax flips are a race between the true top-2 margin and the inter-path
+noise, and scaling audio_head cannot change the ratio (both the margin and
+the noise scale linearly — verified by the sweep's `scale` arm). What
+distinguishes a trained model is the *margin distribution*, so the sweep
+synthesizes controlled margins by mixing a rank-1 "winner template"
+Delta * u (x) onehot(w_s) into audio_head (both paths consume the same
+params, so the boost is path-neutral while the base noise stays at its
+production scale), then bins every step by its realized top-2 margin and
+reports flip rate per margin bin — the curve that replaces the assertion.
 """
 
 import json
@@ -42,6 +57,101 @@ BATCHES = tuple(int(x) for x in os.environ.get(
 # activations/KV (the kernel's precision) instead of the production bf16 —
 # isolates how much of the divergence is the fallback's bf16 activations.
 F32 = os.environ.get("PROBE_F32", "0") == "1"
+
+
+def margin_sweep(jax, jnp, params, args, frame_pair):
+    """Flip rate vs realized top-2 margin (see module docstring).
+
+    Arms: `scale x4` (audio_head scaled — margin AND noise co-scale, so the
+    flip rate must be ~unchanged; falsifies "just scale the head" framings)
+    and rank-1 winner boosts Delta in units of the base median spread (the
+    margin grows while the inter-path noise stays at production scale).
+    Every step lands in a margin bin; the per-bin flip rate is the curve."""
+    n_cb = args.n_audio_codebooks
+    v = args.n_audio_vocab
+    d = args.decoder_dim
+    v_pad = params["_resident"]["audio_head"].shape[-1]
+    b = 16
+    fp = jax.jit(frame_pair, static_argnums=2)
+
+    base_head = np.asarray(params["audio_head"], np.float32)  # (31, d, v)
+    rng = np.random.RandomState(123)
+    u = rng.randn(d).astype(np.float32)
+    u /= np.linalg.norm(u)
+    winners = rng.randint(0, v, size=n_cb - 1)
+
+    def install(head_f32):
+        from csm_mlx_tpu.ops.resident_decoder import set_resident_audio_head
+
+        params["audio_head"] = jnp.asarray(head_f32, jnp.bfloat16)
+        # re-derives the padded bf16 form AND the int8_head tables the
+        # default kernel variant consumes
+        set_resident_audio_head(params["_resident"],
+                                jnp.asarray(head_f32, jnp.bfloat16), v_pad)
+
+    def run_arm(label, head_f32, frames):
+        install(head_f32)
+        margins, flips = [], []
+        for fi in range(max(1, frames // b)):
+            res, logits, c1_logits = jax.device_get(
+                fp(params, jax.random.PRNGKey(900 + fi), b))
+            all_logits = np.concatenate([c1_logits[None], logits], axis=0)
+            res = np.asarray(res)
+            srt = np.sort(all_logits, axis=-1)
+            margins.append((srt[..., -1] - srt[..., -2]).ravel())
+            flips.append((np.argmax(all_logits, axis=-1) != res).ravel())
+        return label, np.concatenate(margins), np.concatenate(flips)
+
+    # base arm first to calibrate the spread unit
+    arms = [run_arm("base", base_head, FRAMES)]
+    spread0 = float(np.median(arms[0][1]))
+    arms.append(run_arm("scale x4", base_head * 4.0, FRAMES))
+    for mult in (1.0, 2.0, 4.0, 8.0, 16.0):
+        boosted = base_head.copy()
+        # winner column w_s of slot s gains Delta * u: realized margins
+        # spread up to ~Delta * |h.u| while path noise stays at base scale
+        boosted[np.arange(n_cb - 1), :, winners] += (mult * spread0) * u
+        arms.append(run_arm(f"boost {mult:g}x", boosted, FRAMES))
+    install(base_head)  # restore
+
+    for label, m, f in arms:
+        print(json.dumps({
+            "metric": "margin_sweep_arm", "arm": label,
+            "steps": int(f.size), "flip_rate": round(float(f.mean()), 5),
+            "median_margin_over_base_spread": round(
+                float(np.median(m)) / spread0, 3),
+        }))
+    # the `scale` arm must NOT move the flip rate (margin and noise
+    # co-scale under head scaling — scaling is not the mechanism)
+    r0 = arms[0][2].mean()
+    rs = arms[1][2].mean()
+    assert abs(rs - r0) < max(0.5 * r0, 0.02), (r0, rs)
+
+    # pooled curve: flip rate per realized-margin bin (units: base spread)
+    m = np.concatenate([a[1] for a in arms if not a[0].startswith("scale")])
+    f = np.concatenate([a[2] for a in arms if not a[0].startswith("scale")])
+    edges = np.array([0, 0.25, 0.5, 1, 2, 4, 8, 16, np.inf]) * spread0
+    curve = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sel = (m >= lo) & (m < hi)
+        if sel.sum() >= 50:
+            curve.append({
+                "margin_bin_x_spread": f"{lo / spread0:g}-{hi / spread0:g}",
+                "steps": int(sel.sum()),
+                "flip_rate": round(float(f[sel].mean()), 5),
+            })
+    print(json.dumps({
+        "metric": "flip_rate_vs_margin",
+        "base_median_spread": round(spread0, 4),
+        "batch": b,
+        "curve": curve,
+    }))
+    # the load-bearing claim: once the true margin clears a few spreads,
+    # greedy flips vanish — large-margin bins must be ~flip-free
+    big = [c for c in curve if float(
+        c["margin_bin_x_spread"].split("-")[0]) >= 4]
+    assert big, "sweep produced no large-margin bins"
+    assert all(c["flip_rate"] < 0.01 for c in big), big
 
 
 def main():
@@ -128,6 +238,10 @@ def main():
         idx = jnp.arange(2, n_cb, dtype=jnp.int32)
         _, logits = jax.lax.scan(body, dcache, (idx, res[:-1]))
         return res, logits, c1_logits
+
+    if os.environ.get("PROBE_MARGIN", "0") == "1":
+        margin_sweep(jax, jnp, params, args, frame_pair)
+        return
 
     for b in BATCHES:
         fp = jax.jit(frame_pair, static_argnums=2)

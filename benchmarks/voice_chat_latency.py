@@ -7,18 +7,30 @@ can't provide (mic audio, Whisper STT weights, LLM weights):
   mic      loud numpy bursts fed through NullAudioIO (the test transport)
   STT      scripted: commits the turn's utterance once >=1 s of speech
            arrives (timestamped — this is "mic-text")
-  LLM      echo_llm (instant, so the measured path is the pipeline + TTS)
+  LLM      selectable (see LLM below)
   TTS      REAL CSM-1B on-chip: W8A8 + resident decoder kernel, streaming
            chunks through generation.stream_generate, with the rolling
            voice-chat context triples (real per-turn Mimi encodes + growing
            prompts, exactly what the app does)
+
+LLM arms (VERDICT r3 item 7 — the 329 ms round-3 number used the instant
+echo LLM, so LLM streaming overlap was never in the measured path):
+  LLM=echo   instant echo (round-3 configuration; pipeline+TTS floor)
+  LLM=tiny   REAL `transformers` generate through `TransformersLLM`'s
+             TextIteratorStreamer (worker thread, token-by-token streaming,
+             sentence split -> TTS pipelining) on a tiny deterministic HF
+             Llama whose greedy tokens each decode to a full sentence —
+             the full production LLM *machinery* at near-zero compute
+  LLM=tiny40 same, with 40 ms/token injected into the stream — the token
+             cadence of a realistic local chat LLM (~25 tok/s), so first
+             audio waits for a real first-sentence decode
 
 Reports p50/p90 mic-text -> first-audio-chunk-played over N timed turns
 vs the reference's 7 s first-audio threshold
 (/root/reference/run_streaming_csm_mlx.py:77).
 
 Run: python benchmarks/voice_chat_latency.py
-Env: TURNS=10 WARM_TURNS=6 RESP_FRAMES=25
+Env: TURNS=10 WARM_TURNS=6 RESP_FRAMES=25 LLM=echo|tiny|tiny40
 """
 
 import asyncio
@@ -35,6 +47,62 @@ import numpy as np
 TURNS = int(os.environ.get("TURNS", "10"))
 WARM_TURNS = int(os.environ.get("WARM_TURNS", "6"))
 RESP_FRAMES = int(os.environ.get("RESP_FRAMES", "25"))  # 2 s of audio
+LLM = os.environ.get("LLM", "echo")          # echo | tiny | tiny40
+LLM_SENTENCES = int(os.environ.get("LLM_SENTENCES", "2"))
+
+
+def _tiny_hf_llm():
+    """Tiny deterministic HF Llama, built offline: zero lm_head => greedy
+    always picks token 0, whose vocab entry is a full sentence — every
+    generated token streams one sentence through the REAL TransformersLLM
+    machinery (same construction as tests/test_voice_chat.py)."""
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import (LlamaConfig, LlamaForCausalLM,
+                              PreTrainedTokenizerFast)
+
+    sentence = "Nice to meet you friend."
+    vocab = {sentence: 0, "<unk>": 1, "</s>": 2, "<pad>": 3}
+    for i, w in enumerate(["hello", "benchmark", "turn", "user",
+                           "assistant", ":"] + [str(n) for n in range(30)],
+                          start=4):
+        vocab[w] = i
+    tok = Tokenizer(models.WordLevel(vocab=vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    hf_tok = PreTrainedTokenizerFast(tokenizer_object=tok,
+                                     unk_token="<unk>", eos_token="</s>",
+                                     pad_token="<pad>")
+    cfg = LlamaConfig(vocab_size=len(vocab), hidden_size=32,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, intermediate_size=64,
+                      max_position_embeddings=256,
+                      tie_word_embeddings=False)
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(cfg).eval()
+    with torch.no_grad():
+        model.lm_head.weight.zero_()
+    return model, hf_tok
+
+
+def _make_llm():
+    from csm_mlx_tpu.apps.voice_chat import TransformersLLM, echo_llm
+
+    if LLM == "echo":
+        return echo_llm
+    model, tok = _tiny_hf_llm()
+    base = TransformersLLM(model, tok, max_tokens=LLM_SENTENCES,
+                           temperature=0.0)
+    if LLM == "tiny":
+        return base
+    delay_ms = float(LLM.replace("tiny", "") or "40")
+
+    def paced(messages):
+        # inject a realistic local-LLM token cadence into the real stream
+        for chunk in base(messages):
+            time.sleep(delay_ms / 1e3)
+            yield chunk
+
+    return paced
 
 
 class TimedSTT:
@@ -137,7 +205,11 @@ def main():
     tts = build_tts_stream_fn(
         model, temperature=0.0,
         max_audio_length_ms=RESP_FRAMES * 80.0)
-    pipe = VoiceChatPipeline(stt, echo_llm, tts, audio_io)
+    llm = _make_llm()
+    pipe = VoiceChatPipeline(stt, llm, tts, audio_io)
+    # each LLM sentence becomes its own TTS segment of RESP_FRAMES chunks
+    n_sentences = 1 if LLM == "echo" else LLM_SENTENCES
+    turn_chunks = RESP_FRAMES * n_sentences
 
     total_turns = WARM_TURNS + TURNS
 
@@ -160,13 +232,13 @@ def main():
             # wait for the response to finish playing (RESP_FRAMES chunks;
             # EOS never fires on random weights so length is deterministic)
             deadline = time.monotonic() + 600.0
-            while (audio_io.played < played_before + RESP_FRAMES
+            while (audio_io.played < played_before + turn_chunks
                    and time.monotonic() < deadline):
                 await asyncio.sleep(0.05)
-            if audio_io.played < played_before + RESP_FRAMES:
+            if audio_io.played < played_before + turn_chunks:
                 raise RuntimeError(
                     f"turn {turn}: TTS never produced its "
-                    f"{RESP_FRAMES} chunks (got "
+                    f"{turn_chunks} chunks (got "
                     f"{audio_io.played - played_before})")
             # let cooldown expire so the next burst isn't gated
             await asyncio.sleep(1.2)
@@ -195,6 +267,8 @@ def main():
         "warm_turn_ms": [round(x * 1e3) for x in lat[:WARM_TURNS]],
         "timed_turn_ms": [round(x * 1e3) for x in timed],
         "turns": TURNS,
+        "llm": LLM,
+        "llm_sentences": n_sentences,
         "resp_frames": RESP_FRAMES,
         "context_segments": len(pipe.state.context_segments),
         "wall_s": round(wall, 1),
