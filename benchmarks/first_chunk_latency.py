@@ -133,6 +133,9 @@ def main():
             "queued_p99_ms": round(float(np.percentile(queued, 99)) * 1e3, 1)
             if queued.size else None,
             "aggregate_rtf": round(audio_sec / wall, 1),
+            # cross-check: the engine's own rolling instrumentation
+            # (ContinuousStats.first_chunk_latency_ms, served at /stats)
+            "engine_stats": eng.stats.first_chunk_latency_ms(),
         }
         reports.append(rep)
         print(json.dumps(rep), flush=True)

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import copy as _copy
 import dataclasses
+import time
 import logging
 import queue
 import threading
@@ -285,6 +286,11 @@ class ContinuousResult:
     def __init__(self, max_frames: int, n_codebooks: int = 32):
         self.max_frames = max_frames
         self.n_codebooks = n_codebooks
+        # serving-latency timestamps (host perf_counter; None until set):
+        # submit -> admitted (queue wait) -> first audio chunk delivered
+        self.t_submit: Optional[float] = None
+        self.t_admitted: Optional[float] = None
+        self.t_first_chunk: Optional[float] = None
         self.tokens: List[np.ndarray] = []
         self._chunks: "queue.Queue[Optional[np.ndarray]]" = queue.Queue()
         self.done = threading.Event()
@@ -311,6 +317,8 @@ class ContinuousResult:
                 # contract: nothing is ever delivered after the sentinel,
                 # whatever the scheduler's in-flight arithmetic does.
                 return
+            if self.t_first_chunk is None:
+                self.t_first_chunk = time.perf_counter()
             self.audio_frames += 1
             if self._on_chunk is not None:
                 try:
@@ -434,6 +442,29 @@ class ContinuousStats:
     completed: int = 0
     frames_emitted: int = 0
     frames_wasted: int = 0  # dead-slot frames computed and discarded
+    # rolling reservoirs (last 1024) of per-request serving latency, sec:
+    # admission -> first audio chunk, and submit -> first chunk (includes
+    # queue wait). Populated by the engine when a codec stream delivers
+    # its first chunk; summarized by first_chunk_latency_ms().
+    admit_to_first_chunk: deque = dataclasses.field(
+        default_factory=lambda: deque(maxlen=1024))
+    submit_to_first_chunk: deque = dataclasses.field(
+        default_factory=lambda: deque(maxlen=1024))
+
+    def first_chunk_latency_ms(self) -> Dict[str, Optional[float]]:
+        """p50/p99 of the rolling first-chunk latencies (ms), or Nones
+        before any codec stream has delivered audio."""
+        out: Dict[str, Optional[float]] = {}
+        for name, d in (("admit", self.admit_to_first_chunk),
+                        ("submit", self.submit_to_first_chunk)):
+            arr = np.asarray(d, np.float64)
+            out[f"{name}_p50_ms"] = (
+                round(float(np.percentile(arr, 50)) * 1e3, 1)
+                if arr.size else None)
+            out[f"{name}_p99_ms"] = (
+                round(float(np.percentile(arr, 99)) * 1e3, 1)
+                if arr.size else None)
+        return out
 
 
 class ContinuousEngine:
@@ -671,6 +702,7 @@ class ContinuousEngine:
                 f"prompt of {prompt.shape[0]} tokens exceeds the engine's "
                 f"max_prompt_bucket={self.max_prompt_bucket}")
         res = ContinuousResult(mf, self.args.n_audio_codebooks)
+        res.t_submit = time.perf_counter()
         self._queue.put((res, tokens, m, int(pad_arr[0]), bucket))
         self._wake.set()
         return res
@@ -719,7 +751,9 @@ class ContinuousEngine:
                 self._history, self._dec_state)
         (self._frame, self._pad, self._cache, self._key, self._history,
          self._dec_state, f0, eos0) = outs
+        t_adm = time.perf_counter()
         for slot_i, (res, _tk, _m, pad, _b) in assignments:
+            res.t_admitted = t_adm
             self._pads[slot_i] = self._idx - bucket + pad
             s = self._slots[slot_i]
             s.req = res
@@ -892,6 +926,15 @@ class ContinuousEngine:
                     if c.dtype == np.int16:  # transfer="int16": rescale back
                         c = c.astype(np.float32) / 32767.0
                     req._push_chunk(np.asarray(c, np.float32))
+                    if (req.t_first_chunk is not None
+                            and not getattr(req, "_lat_recorded", False)):
+                        req._lat_recorded = True
+                        if req.t_admitted is not None:
+                            self.stats.admit_to_first_chunk.append(
+                                req.t_first_chunk - req.t_admitted)
+                        if req.t_submit is not None:
+                            self.stats.submit_to_first_chunk.append(
+                                req.t_first_chunk - req.t_submit)
                     if req.finished and s_audio == len(req.tokens) - 1:
                         # Last pending chunk of a cap-finished stream.
                         req._finish()

@@ -692,6 +692,9 @@ async def serve_http(server: TTSServer, host: str = "127.0.0.1",
                         "completed": es.completed, "rebases": es.rebases,
                         "frames_emitted": es.frames_emitted,
                         "frames_wasted": es.frames_wasted,
+                        # rolling p50/p99 of admission->first-chunk and
+                        # submit->first-chunk (the serving SLO metrics)
+                        **es.first_chunk_latency_ms(),
                     }
                 payload = json.dumps(stats).encode()
                 writer.write(_http_response("200 OK", "application/json", payload))

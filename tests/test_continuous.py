@@ -176,6 +176,31 @@ def test_submit_after_engine_death_raises(model):
         eng.submit_prompt(p, m)
 
 
+def test_first_chunk_latency_instrumentation(model):
+    """A codec stream populates the rolling first-chunk latency
+    reservoirs (admission->first-chunk and submit->first-chunk) and the
+    /stats summary returns sane, ordered percentiles."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    eng = _engine(model, n_slots=1, codec=True)
+    assert eng.stats.first_chunk_latency_ms()["admit_p50_ms"] is None
+    p, m = _prompt(model.args, 5, seed=9)
+    res = eng.submit_prompt(p, m, max_frames=2)
+    eng.run_until_idle()
+    res.wait(0)
+    assert res.t_submit is not None
+    assert res.t_admitted is not None and res.t_admitted >= res.t_submit
+    assert res.t_first_chunk is not None
+    assert res.t_first_chunk >= res.t_admitted
+    lat = eng.stats.first_chunk_latency_ms()
+    assert lat["admit_p50_ms"] is not None and lat["admit_p50_ms"] > 0
+    assert lat["submit_p50_ms"] >= lat["admit_p50_ms"]
+    assert lat["admit_p99_ms"] >= lat["admit_p50_ms"]
+    assert len(eng.stats.admit_to_first_chunk) == 1
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
 def test_quantized_codec_engine_close_to_f32(model):
     """quantize_codec=True: same greedy tokens (generation untouched), audio
     differs from the f32-codec engine only by W8A8 decode quantization
