@@ -38,7 +38,10 @@ B = int(os.environ.get("KVI_B", "48"))
 CAP = int(os.environ.get("KVI_CAP", "640"))
 REPS = int(os.environ.get("KVI_REPS", "64"))
 ROUNDS = int(os.environ.get("KVI_ROUNDS", "3"))
-LAYERS = 16
+# 16 = the real backbone; the remote compiler chokes on the full-depth
+# doubly-nested scan (broken-pipe/1-h compiles) — the per-layer RATIO is
+# depth-independent, so KVI_LAYERS=4 is the practical A/B configuration.
+LAYERS = int(os.environ.get("KVI_LAYERS", "16"))
 NKV, GROUP, HD = 8, 4, 64
 K = 8
 NEG = -0.7 * float(np.finfo(np.float32).max)
