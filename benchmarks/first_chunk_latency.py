@@ -63,6 +63,7 @@ def main():
     seconds = float(os.environ.get("SECONDS", "5.0"))
     long_prompts = os.environ.get("LONG", "0") == "1"
     rounds = int(os.environ.get("ROUNDS", "2"))
+    frames_per_step = int(os.environ.get("FRAMES_PER_STEP", "8"))
 
     model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
     model.params["audio_head"] = jax.random.normal(
@@ -81,7 +82,8 @@ def main():
     eng = ContinuousEngine(
         model, n_slots=n_slots, max_frames=frames,
         max_prompt_bucket=bucket, capacity_slack=64, temperature=0.0,
-        codec=True, transfer="int16", key=jax.random.PRNGKey(1))
+        codec=True, transfer="int16", frames_per_step=frames_per_step,
+        key=jax.random.PRNGKey(1))
 
     def run(timed):
         t_sub = {}
@@ -121,6 +123,7 @@ def main():
             "metric": "first_chunk_latency_under_load",
             "round": r,
             "prompt_bucket": bucket,
+            "frames_per_step": frames_per_step,
             "n_slots": n_slots,
             "n_requests": n_requests,
             "admission_p50_ms": round(float(np.percentile(first_wave, 50))
