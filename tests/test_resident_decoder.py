@@ -383,6 +383,22 @@ def test_nonstrict_load_drops_resident_snapshot(quant_model, tmp_path):
         prepare_resident_decoder(quant_model)
 
 
+def test_kernel_opts_env_parsing(monkeypatch):
+    from csm_mlx_tpu.ops.resident_decoder import _kernel_opts
+
+    monkeypatch.delenv("CSM_TPU_RESIDENT_OPTS", raising=False)
+    assert _kernel_opts(1) == {"vpu_rope", "dma_weights", "int8_head",
+                               "merged_attn"}
+    assert "merged_attn" not in _kernel_opts(16)  # VMEM: b<=8 only
+    monkeypatch.setenv("CSM_TPU_RESIDENT_OPTS", "classic")
+    assert _kernel_opts(1) == frozenset()
+    monkeypatch.setenv("CSM_TPU_RESIDENT_OPTS", "vpu_rope, int8_head")
+    assert _kernel_opts(48) == {"vpu_rope", "int8_head"}
+    monkeypatch.setenv("CSM_TPU_RESIDENT_OPTS", "vpu_rope,typo_opt")
+    with pytest.raises(ValueError, match="typo_opt"):
+        _kernel_opts(1)
+
+
 def test_sampler_gate():
     from csm_mlx_tpu.ops.sampling import SamplerConfig
 
