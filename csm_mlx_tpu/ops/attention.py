@@ -83,7 +83,11 @@ def flash_prefill_sdpa(
         q_idx = jax.lax.broadcasted_iota(jnp.int32, (group * blk_q, s), 0)
         q_pos = jax.lax.rem(q_idx, blk_q) + qb * blk_q
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (group * blk_q, s), 1)
-        ok = (k_pos <= q_pos) & (k_pos >= pad_ref[0])
+        # pad_ref holds the WHOLE (B,) vector in SMEM (Mosaic rejects a
+        # (1,)-block of a rank-1 array unless B is 128-aligned — hit by
+        # the continuous engine's padded 16-wide admits at bucket 512);
+        # index the batch row directly.
+        ok = (k_pos <= q_pos) & (k_pos >= pad_ref[pl.program_id(0)])
         logits = jnp.where(ok, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
@@ -98,8 +102,7 @@ def flash_prefill_sdpa(
         kernel,
         grid=(b, n_kv, s // blk_q),
         in_specs=[
-            pl.BlockSpec((1,), lambda bi, hi, qi: (bi,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # whole (B,) pad vector
             pl.BlockSpec((1, 1, group, blk_q, d),
                          lambda bi, hi, qi: (bi, hi, 0, qi, 0)),
             pl.BlockSpec((1, 1, s, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
