@@ -578,6 +578,43 @@ def test_mesh_engine_matches_solo(model):
     assert eng.stats.completed == 3
 
 
+def test_mesh_engine_composes_with_quantized_codec(model):
+    """mesh= + quantize_codec=True: the int8 Mimi decode convs are plain
+    XLA ops, so they must partition under GSPMD like the f32 ones (batch
+    axis over "data"). Greedy tokens match an unsharded quantized-codec
+    engine exactly. Audio is NOT bit-equal: the f32 stages (layernorms,
+    softmax, RVQ) pick up partition reduction-order noise, and the next
+    stage's dynamic int8 activation quant ROUNDS that noise into ±1 code
+    steps that cascade through the streaming codec state — the same
+    amplification mechanism PERFORMANCE.md documents for the resident
+    kernel. The gate is therefore quant-noise-scale closeness, not
+    allclose."""
+    import csm_mlx_tpu.tokenizers as tok_mod
+    from csm_mlx_tpu.parallel import create_mesh, shard_model
+
+    tok_mod.get_audio_tokenizer.cache_clear()
+    p, m = _prompt(model.args, 5, seed=77)
+    solo = _engine(model, n_slots=2, codec=True, quantize_codec=True)
+    r0 = solo.submit_prompt(p, m, max_frames=4)
+    solo.run_until_idle()
+    want_tokens, want_audio = r0.wait(0), r0.audio()
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    shard_model(model, mesh)
+    eng = _engine(model, n_slots=2, codec=True, quantize_codec=True,
+                  mesh=mesh)
+    assert "weight_q" in eng._mimi_params["decoder"]["init"]
+    res = eng.submit_prompt(p, m, max_frames=4)
+    eng.run_until_idle()
+    np.testing.assert_array_equal(res.wait(0), want_tokens)
+    got_audio = res.audio()
+    assert got_audio.shape == want_audio.shape
+    rel = float(np.sqrt(np.mean((got_audio - want_audio) ** 2))
+                / (np.sqrt(np.mean(want_audio ** 2)) + 1e-12))
+    assert rel < 0.06, rel
+    tok_mod.get_audio_tokenizer.cache_clear()
+
+
 def test_mesh_engine_carry_is_sharded(model):
     """The slot carry actually lands sharded over the "data" axis (not
     silently replicated): the cache batch axis and the per-slot vectors
