@@ -457,7 +457,11 @@ class ContinuousStats:
         out: Dict[str, Optional[float]] = {}
         for name, d in (("admit", self.admit_to_first_chunk),
                         ("submit", self.submit_to_first_chunk)):
-            arr = np.asarray(d, np.float64)
+            # .copy() is a single C-level op (atomic under the GIL for a
+            # deque of floats) — /stats reads from the HTTP thread while
+            # the engine thread appends; iterating the live deque could
+            # raise "deque mutated during iteration"
+            arr = np.asarray(d.copy(), np.float64)
             out[f"{name}_p50_ms"] = (
                 round(float(np.percentile(arr, 50)) * 1e3, 1)
                 if arr.size else None)
