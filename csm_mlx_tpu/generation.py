@@ -155,13 +155,20 @@ def _use_resident_decoder(params, sampler, b: int) -> int:
 
     Returns the number of kernel calls per frame: 0 = unusable (dispatched
     path), 1 = the whole batch in one call, n > 1 = the batch split into n
-    chunks of <= CSM_TPU_RESIDENT_MAX_BATCH rows each (a B=48 chunk maxes
-    the ~128 MB VMEM; larger lockstep batches pay one extra ~106 MB weight
-    load per chunk per frame, still ~15x fewer decoder HBM bytes than the
-    dispatched path's 31 re-streams). `CSM_TPU_RESIDENT_CHUNK=0` restores
-    the round-2 behavior (dispatched past max batch)."""
+    chunks of <= CSM_TPU_RESIDENT_MAX_BATCH rows each. The default cap is
+    64: the round-4 kernel variants freed ~5.5 MB of VMEM (rotation
+    matrices -> cos/sin rows; int8 audio_head buffer), which fits a
+    64-row call that round 2 could not (~+14% rows/ms over 48 at 50% vs
+    37.5% MXU M-utilization; slots_ab 64-vs-48 measured 1.31x median on
+    the full service). NOTE: B in (48, 64] requires the default kernel
+    variants -- CSM_TPU_RESIDENT_OPTS=classic at those batches exceeds
+    VMEM and fails loudly at compile (set MAX_BATCH=48 alongside).
+    Larger batches chunk, paying one extra ~106 MB weight load per chunk
+    per frame -- still ~15x fewer decoder HBM bytes than the dispatched
+    path's 31 re-streams. `CSM_TPU_RESIDENT_CHUNK=0` restores the
+    round-2 behavior (dispatched past max batch)."""
     flag = os.environ.get("CSM_TPU_RESIDENT_DECODER", "1")
-    max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"))
+    max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "64"))
     if flag == "0" or max_b <= 0 or "_resident" not in params:
         return 0
     n_chunks = -(-b // max_b)
@@ -319,7 +326,7 @@ def _resident_env_key() -> Tuple[str, ...]:
     builder cache keys makes toggling them mid-process take effect on the
     next call instead of silently reusing the old compiled loop."""
     return (os.environ.get("CSM_TPU_RESIDENT_DECODER", "1"),
-            os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "48"),
+            os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "64"),
             os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1"),
             os.environ.get("CSM_TPU_FLASH_PREFILL", "1"),
             os.environ.get("CSM_TPU_QUANT_PALLAS", "1"),
