@@ -51,7 +51,10 @@ def add_parser(subparsers) -> None:
     p.add_argument("--quantize-codec", action="store_true",
                    help="Continuous mode: W8A8 Mimi decode path (int8 "
                         "SEANet convs + codec-transformer linears on the "
-                        "MXU; adds codec quantization noise only)")
+                        "MXU; adds codec quantization noise only). "
+                        "Measured NEGATIVE on the shared v5e (1.36x "
+                        "slower than f32) -- kept as a hedge for "
+                        "locally-attached TPUs where int8 convs may pay")
     p.add_argument("--slots", type=int, default=48,
                    help="Continuous mode: concurrent generation slots "
                         "(48 measured 1.48x over 16, benchmarks/slots_ab.py)")

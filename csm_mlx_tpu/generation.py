@@ -160,9 +160,9 @@ def _use_resident_decoder(params, sampler, b: int) -> int:
     matrices -> cos/sin rows; int8 audio_head buffer), which fits a
     64-row call that round 2 could not (~+14% rows/ms over 48 at 50% vs
     37.5% MXU M-utilization; slots_ab 64-vs-48 measured 1.31x median on
-    the full service). NOTE: B in (48, 64] requires the default kernel
-    variants -- CSM_TPU_RESIDENT_OPTS=classic at those batches exceeds
-    VMEM and fails loudly at compile (set MAX_BATCH=48 alongside).
+    the full service). B in (48, 64] requires the VMEM-freeing round-4
+    kernel variants; with CSM_TPU_RESIDENT_OPTS=classic (or a stale
+    _resident snapshot) the effective cap auto-clamps to 48.
     Larger batches chunk, paying one extra ~106 MB weight load per chunk
     per frame -- still ~15x fewer decoder HBM bytes than the dispatched
     path's 31 re-streams. `CSM_TPU_RESIDENT_CHUNK=0` restores the
@@ -171,6 +171,12 @@ def _use_resident_decoder(params, sampler, b: int) -> int:
     max_b = int(os.environ.get("CSM_TPU_RESIDENT_MAX_BATCH", "64"))
     if flag == "0" or max_b <= 0 or "_resident" not in params:
         return 0
+    from csm_mlx_tpu.ops.resident_decoder import effective_max_batch
+
+    # A (48, 64] per-call batch only fits VMEM with the round-4 variants;
+    # clamp to 48 when they're disabled (classic/explicit opts) or the
+    # prepared tables predate them, instead of failing at Mosaic compile.
+    max_b = effective_max_batch(params["_resident"], max_b)
     n_chunks = -(-b // max_b)
     if n_chunks > 1 and os.environ.get("CSM_TPU_RESIDENT_CHUNK", "1") == "0":
         return 0
@@ -332,7 +338,8 @@ def _resident_env_key() -> Tuple[str, ...]:
             os.environ.get("CSM_TPU_QUANT_PALLAS", "1"),
             os.environ.get("CSM_TPU_DECODER_UNROLL", "31"),
             os.environ.get("CSM_TPU_TIERED_KV", "1"),
-            os.environ.get("CSM_TPU_GEN_BLOCK", "8"))
+            os.environ.get("CSM_TPU_GEN_BLOCK", "8"),
+            os.environ.get("CSM_TPU_RESIDENT_OPTS", ""))
 
 
 def _env_keyed(cached_builder):

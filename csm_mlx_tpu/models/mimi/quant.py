@@ -25,9 +25,12 @@ The upsample convtr (groups == channels) and RVQ embedding sums stay f32:
 both are ~1 ms, channelwise/gather-bound, and int8 buys nothing there.
 
 Parity: quantization error only (no arithmetic shortcuts) — gated by
-tests/test_mimi_quant.py against the f32 decode and by
-benchmarks/micro_mimi_quant.py's on-TPU A/B. The ENCODE path is never
-quantized: prompt/context encodes feed training and parity gates.
+tests/test_mimi_quant.py against the f32 decode and by the on-TPU A/B
+`benchmarks/micro_mimi_decode.py MIMI_QUANT_AB=1` (measured NEGATIVE on
+this chip: int8 SEANet convs 1.36× slower than f32 — the path ships
+opt-in as a hedge for hardware where XLA's int8 convs pay). The ENCODE
+path is never quantized: prompt/context encodes feed training and
+parity gates.
 
 The reference has no codec quantization at all (its Mimi runs through
 moshi_mlx float kernels, /root/reference/csm_mlx/tokenizers.py:14-21);

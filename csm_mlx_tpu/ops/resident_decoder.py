@@ -134,6 +134,21 @@ def _kernel_opts(b: int) -> FrozenSet[str]:
     return frozenset(opts)
 
 
+def effective_max_batch(res: Dict[str, Any], requested: int) -> int:
+    """Clamp the per-call row ceiling to 48 unless the VMEM-freeing round-4
+    variants (vpu_rope: rotation matrices -> cos/sin rows; int8_head: bf16 ->
+    int8 audio_head buffer) are both enabled AND their prepared tables exist.
+    Rows in (48, 64] only fit VMEM with those frees; `classic` opts or a
+    stale `_resident` snapshot would otherwise fail at Mosaic compile."""
+    if requested <= 48:
+        return requested
+    opts = _kernel_opts(requested)
+    if ("vpu_rope" in opts and "int8_head" in opts
+            and "rope_cs" in res and "audio_head_q" in res):
+        return requested
+    return 48
+
+
 def _rope_matrices(cfg, cap: int) -> np.ndarray:
     """(cap, hd, hd) f32: x @ M[p] == interleaved-pair RoPE at position p.
 

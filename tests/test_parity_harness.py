@@ -27,8 +27,8 @@ def test_parity_harness_entrypoint_alive():
         [sys.executable, SCRIPT, "--help"], capture_output=True, text=True,
         timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "--self-test" in (out.stdout + out.stderr) or True
-    # --self-test must be a recognized mode (parses before any model work)
+    # --self-test is handled pre-argparse (never in --help output); the
+    # source grep below is the real "recognized mode" check.
     src = open(SCRIPT).read()
     assert '"--self-test" in sys.argv' in src
 

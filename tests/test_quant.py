@@ -117,6 +117,34 @@ def test_w8a8_quantize_and_linear():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_w8a8_large_batch_prefill_gate():
+    """Quality gate for the large-batch W8A8 dispatch (ops/quant.py:431).
+
+    B*S > 64 rows (the prefill / Mimi-codec-transformer regime) route
+    through `_xla_w8a8_matvec` — dynamic int8 activation quant + int8 dot —
+    instead of the full-precision dequant einsum, so quantized prefill
+    numerics match the decode kernel's semantics instead of depending on
+    the batch size. This gate bounds that routing's error against the
+    dequant-einsum reference at a prefill-like shape."""
+    from csm_mlx_tpu.ops.quant import quantize_weight_w8
+
+    rng = np.random.RandomState(17)
+    w = jnp.asarray(rng.randn(256, 256).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(384, 256).astype(np.float32))  # B*S >> 64
+    qp = quantize_weight_w8(w)
+    p = dict(qp, _bits=8, _group_size=256)
+    got = np.asarray(quant_linear(p, x, use_pallas=True))   # int8-dot mirror
+    ref = np.asarray(quant_linear(p, x, use_pallas=False))  # dequant einsum
+    # The two paths share the weight quantization; the delta is activation
+    # int8 quantization only (~1% relative on N(0,1) rows).
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / denom < 0.02
+    # and each row's error scales with that row's absmax (dynamic per-row
+    # scales really are per-row, not one global scale)
+    row_err = np.abs(got - ref).max(axis=1)
+    assert np.median(row_err) / denom < 0.01
+
+
 def test_w8a8_model_generate():
     from csm_mlx_tpu.generation import generate_tokens
     from csm_mlx_tpu.models.csm import CSM
