@@ -138,7 +138,9 @@ def main() -> None:
     # ---- batch-parallel aggregate throughput (TPU-native capability) ----
     # B utterances share every weight read, so aggregate audio-sec/wall-sec
     # scales far past the single-stream number. BENCH_BATCH=0 disables.
-    batch_b = int(os.environ.get("BENCH_BATCH", "48"))
+    # Default 64 since round 5: one 64-row resident-kernel call measured
+    # 1.13x per-row over 48 at the step-block level (PERFORMANCE.md r5).
+    batch_b = int(os.environ.get("BENCH_BATCH", "64"))
     rtf_batch = None
     if batch_b > 1:
         from csm_mlx_tpu.generation import generate_tokens_batch

@@ -84,8 +84,11 @@ def main():
         run(eng)
 
     walls = {"a": [], "b": []}
-    for _ in range(rounds):
-        for key in ("a", "b"):
+    for r in range(rounds):
+        # Alternate the within-round order (a,b),(b,a),... — monotonic
+        # drift inside a round otherwise biases every ratio the same way.
+        order = ("a", "b") if r % 2 == 0 else ("b", "a")
+        for key in order:
             walls[key].append(run(engines[key]))
     rtf = {k: [audio_sec / w for w in v] for k, v in walls.items()}
     ratios = [b / a for a, b in zip(rtf["a"], rtf["b"])]

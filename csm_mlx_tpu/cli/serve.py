@@ -55,9 +55,12 @@ def add_parser(subparsers) -> None:
                         "Measured NEGATIVE on the shared v5e (1.36x "
                         "slower than f32) -- kept as a hedge for "
                         "locally-attached TPUs where int8 convs may pay")
-    p.add_argument("--slots", type=int, default=48,
+    p.add_argument("--slots", type=int, default=64,
                    help="Continuous mode: concurrent generation slots "
-                        "(48 measured 1.48x over 16, benchmarks/slots_ab.py)")
+                        "(64 measured 1.13x per-row over 48 at the step-"
+                        "block level, 48 1.48x over 16 — "
+                        "benchmarks/slots_ab.py + PERFORMANCE.md round 5; "
+                        "80+ exceeds the resident kernel's VMEM)")
     p.add_argument("--mesh", default=None, metavar="AXES",
                    help="Multi-chip serving: mesh axes as 'data=2,model=4' "
                         "(sizes must multiply to the local device count). "

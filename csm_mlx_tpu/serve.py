@@ -415,10 +415,13 @@ class ContinuousTTSServer:
         self,
         model,
         *,
-        n_slots: int = 48,  # interleaved A/B: 1.48x over 16 slots
-                            # (benchmarks/slots_ab.py — fewer, wider step
-                            # blocks amortize dispatch; 48 rows stay on the
-                            # resident kernel's VMEM plateau)
+        n_slots: int = 64,  # interleaved A/Bs: 48 = 1.48x over 16 (fewer,
+                            # wider step blocks amortize dispatch); 64 =
+                            # 1.13x per-row over 48 at the step-block
+                            # level (round 5 — the round-4 kernel variants
+                            # freed the VMEM for a 64-row call; 80+ fails
+                            # Mosaic compile). benchmarks/slots_ab.py +
+                            # PERFORMANCE.md round-5 section.
         max_audio_length_ms: float = 30_000,
         max_prompt_bucket: int = 512,
         temperature: float = 0.8,
