@@ -1,0 +1,275 @@
+"""On-TPU continuous-serving soak (VERDICT r4 #4): minutes of mixed load.
+
+The CPU fuzz test proves scheduler correctness and the serving benches run
+~96-request bursts, but nothing had ever held the real chip under sustained
+mixed traffic and asserted the *operational* properties a serving framework
+owes: slots fully recycle, host RSS and device memory stay flat, the
+rolling first-chunk p99 stays structural, and the engine never wedges
+(the known failure mode: a stuck client process can stall the whole TPU
+tunnel — CLAUDE.md round-4 notes).
+
+Workload (SOAK_SECONDS, default 360): Poisson-ish arrivals holding
+~1.25x slots in flight, per-request lengths uniform 1-12 s
+(max_frames 12-150), ~10% of requests cancelled at a random moment
+mid-stream, and every BURST_EVERY (75 s) an extra 2x-capacity burst
+dumped at once. Audio leaves through chunk callbacks (counted, not
+retained — a real consumer drains its stream, and retaining minutes of
+PCM would measure the harness's memory, not the engine's).
+
+Monitors every 5 s: host VmRSS, device bytes_in_use (when the runtime
+exposes it), engine step counter (wedge watchdog: no step progress for
+WEDGE_S=120 s with work in flight fails the soak).
+
+Pass gates (printed + process exit code):
+  slots_recycled      every slot free and queue empty after drain
+  all_terminal        every submitted request completed or cancelled
+  rss_flat            last-third median RSS <= first-third + RSS_SLACK_MB
+  device_flat         same for device bytes (skipped if not exposed)
+  p99_structural      rolling admit->first-chunk p99 <= P99_GATE_MS
+                      (default 350 ~= 1.5x the 48-busy-slot 201 ms figure,
+                      PERFORMANCE.md round-4)
+  no_wedge            watchdog never fired
+
+Run: python benchmarks/soak_bench.py
+Env: SOAK_SECONDS=360 SLOTS=48 BURST_EVERY=75 CANCEL_FRAC=0.10
+     P99_GATE_MS=350 RSS_SLACK_MB=200 SOAK_TINY=1 (CPU smoke)
+"""
+
+import json
+import os
+import random
+import sys
+import threading
+import time
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SOAK_SECONDS = float(os.environ.get("SOAK_SECONDS", "360"))
+SLOTS = int(os.environ.get("SLOTS", "48"))
+BURST_EVERY = float(os.environ.get("BURST_EVERY", "75"))
+CANCEL_FRAC = float(os.environ.get("CANCEL_FRAC", "0.10"))
+P99_GATE_MS = float(os.environ.get("P99_GATE_MS", "350"))
+RSS_SLACK_MB = float(os.environ.get("RSS_SLACK_MB", "200"))
+WEDGE_S = float(os.environ.get("WEDGE_S", "120"))
+TINY = os.environ.get("SOAK_TINY", "0") == "1"
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return float(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def device_mb(jax) -> float:
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        return float(st.get("bytes_in_use", 0)) / 1e6
+    except Exception:
+        return -1.0
+
+
+def main():
+    import jax
+
+    if TINY:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    import jax.numpy as jnp
+
+    from csm_mlx_tpu.continuous import ContinuousEngine
+    from csm_mlx_tpu.models.csm import CSM, csm_1b
+    from csm_mlx_tpu.ops.quant import quantize_model
+
+    if TINY:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests"))
+        from conftest import tiny_args
+
+        model = CSM(tiny_args(n_codebooks=8), dtype=jnp.float32,
+                    rng=jax.random.PRNGKey(0))
+        max_frames_hi, slots = 24, min(SLOTS, 4)
+    else:
+        model = CSM(csm_1b(), dtype=jnp.bfloat16, rng=jax.random.PRNGKey(0))
+        model.params["audio_head"] = jax.random.normal(  # bench.py EOS note
+            jax.random.PRNGKey(3), model.params["audio_head"].shape,
+            dtype=jnp.bfloat16) * 0.02
+        quantize_model(model, mode="w8a8")
+        max_frames_hi, slots = 150, SLOTS
+    args = model.args
+
+    eng = ContinuousEngine(
+        model, n_slots=slots, max_frames=max_frames_hi,
+        max_prompt_bucket=32, capacity_slack=64, temperature=0.0,
+        codec=True, frames_per_step=8, transfer="int16",
+        key=jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(0)
+    pyrng = random.Random(0)
+    width = args.n_audio_codebooks + 1
+
+    def make_prompt():
+        s = 16 + int(rng.randint(0, 16))
+        p = np.zeros((s, width), np.int32)
+        p[:, -1] = rng.randint(3, 200, size=s)
+        m = np.zeros_like(p)
+        m[:, -1] = 1
+        return p, m
+
+    state = {"submitted": 0, "done": 0, "cancel_asked": 0, "chunks": 0,
+             "chunk_bytes": 0, "inflight": 0, "errors": 0}
+    lock = threading.Lock()
+    pending_cancels = []  # (deadline, result)
+
+    def submit_one():
+        p, m = make_prompt()
+        mf = 12 + int(rng.randint(0, max_frames_hi - 12 + 1))
+        r = eng.submit_prompt(p, m, max_frames=mf)
+
+        def on_chunk(ch):
+            if ch is None:
+                return
+            with lock:
+                state["chunks"] += 1
+                state["chunk_bytes"] += ch.nbytes
+
+        def on_done():
+            with lock:
+                state["done"] += 1
+                state["inflight"] -= 1
+                if r.error is not None:
+                    state["errors"] += 1
+
+        r.set_chunk_callback(on_chunk)
+        r.add_done_callback(on_done)
+        with lock:
+            state["submitted"] += 1
+            state["inflight"] += 1
+        if pyrng.random() < CANCEL_FRAC:
+            delay = pyrng.uniform(0.05, 3.0)
+            with lock:
+                state["cancel_asked"] += 1
+            pending_cancels.append((time.perf_counter() + delay, r))
+        return r
+
+    # ---- warmup: saturate once so every admit-size program compiles ----
+    print("# warmup...", file=sys.stderr, flush=True)
+    warm = [eng.submit_prompt(*make_prompt(), max_frames=24)
+            for _ in range(2 * slots)]
+    eng.run_until_idle()
+    for r in warm:
+        r.wait(60)
+    eng.stats = type(eng.stats)()  # drop warmup counters/latencies
+
+    eng.start()
+    t_start = time.perf_counter()
+    t_end = t_start + SOAK_SECONDS
+    next_burst = t_start + BURST_EVERY
+    target_inflight = int(1.25 * slots)
+    samples = []  # (t, rss_mb, dev_mb, steps, inflight)
+    last_steps, last_progress_t = -1, time.perf_counter()
+    next_sample = t_start
+    wedged = False
+
+    while time.perf_counter() < t_end:
+        now = time.perf_counter()
+        # cancels due
+        while pending_cancels and pending_cancels[0][0] <= now:
+            pending_cancels.pop(0)[1].cancel()
+        # keep the target in flight
+        with lock:
+            inflight = state["inflight"]
+        if inflight < target_inflight:
+            submit_one()
+            continue  # submit as fast as the engine drains
+        if now >= next_burst:
+            for _ in range(2 * slots):
+                submit_one()
+            next_burst = now + BURST_EVERY
+        if now >= next_sample:
+            steps = eng.stats.steps
+            samples.append((now - t_start, rss_mb(), device_mb(jax),
+                            steps, inflight))
+            if steps != last_steps:
+                last_steps, last_progress_t = steps, now
+            elif inflight > 0 and now - last_progress_t > WEDGE_S:
+                wedged = True
+                print(f"# WEDGE: no step progress for {WEDGE_S}s with "
+                      f"{inflight} in flight", file=sys.stderr, flush=True)
+                break
+            next_sample = now + 5.0
+        time.sleep(0.02)
+
+    # ---- drain ---------------------------------------------------------
+    for _, r in pending_cancels:
+        r.cancel()
+    deadline = time.perf_counter() + 180
+    while time.perf_counter() < deadline:
+        with lock:
+            if state["inflight"] == 0:
+                break
+        time.sleep(0.25)
+    eng.stop()
+    wall = time.perf_counter() - t_start
+
+    with lock:
+        snap = dict(state)
+    slots_free = all(s.req is None for s in eng._slots)
+    queue_empty = eng._queue.empty()
+    lat = eng.stats.first_chunk_latency_ms()
+    rss = [s[1] for s in samples]
+    dev = [s[2] for s in samples if s[2] >= 0]
+    third = max(1, len(rss) // 3)
+    rss_first = float(np.median(rss[:third])) if rss else 0.0
+    rss_last = float(np.median(rss[-third:])) if rss else 0.0
+    dev_first = float(np.median(dev[:third])) if dev else -1.0
+    dev_last = float(np.median(dev[-third:])) if dev else -1.0
+
+    gates = {
+        "slots_recycled": slots_free and queue_empty,
+        "all_terminal": snap["inflight"] == 0 and snap["errors"] == 0,
+        "rss_flat": rss_last <= rss_first + RSS_SLACK_MB,
+        "device_flat": (True if not dev
+                        else dev_last <= dev_first * 1.05 + 64.0),
+        "p99_structural": (lat["admit_p99_ms"] is not None
+                           and lat["admit_p99_ms"] <= P99_GATE_MS),
+        "no_wedge": not wedged,
+    }
+    audio_sec = snap["chunk_bytes"] / 2.0 / 24000.0  # int16 @24 kHz
+    print(json.dumps({
+        "metric": "serving_soak",
+        "value": round(wall, 1),
+        "unit": "seconds_survived",
+        "pass": all(gates.values()),
+        "gates": gates,
+        "submitted": snap["submitted"], "completed": snap["done"],
+        "cancel_asked": snap["cancel_asked"], "errors": snap["errors"],
+        "engine_stats": {
+            "steps": eng.stats.steps, "admissions": eng.stats.admissions,
+            "completed": eng.stats.completed,
+            "frames_emitted": eng.stats.frames_emitted,
+            "frames_wasted": eng.stats.frames_wasted,
+            "rebases": eng.stats.rebases,
+            "cache_resizes": eng.stats.cache_resizes,
+        },
+        "first_chunk_ms": lat,
+        "aggregate_rtf": round(audio_sec / wall, 1),
+        "rss_mb": {"first_third_median": round(rss_first, 1),
+                   "last_third_median": round(rss_last, 1)},
+        "device_mb": {"first_third_median": round(dev_first, 1),
+                      "last_third_median": round(dev_last, 1)},
+        "slots": slots, "soak_seconds": SOAK_SECONDS,
+        "burst_every": BURST_EVERY, "cancel_frac": CANCEL_FRAC,
+        "backend": jax.default_backend(),
+    }))
+    sys.exit(0 if all(gates.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
