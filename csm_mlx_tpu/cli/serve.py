@@ -24,7 +24,7 @@ def add_parser(subparsers) -> None:
                    help="LoRA adapter dir (adapter_config.json + adapters.safetensors)")
     p.add_argument("--quantize", action="store_true",
                    help="Quantize to the W8A8 fast path before serving")
-    p.add_argument("--max-batch", type=int, default=48,
+    p.add_argument("--max-batch", type=int, default=64,
                    help="Coalesce up to this many concurrent requests "
                         "(default = the resident kernel's per-call batch, "
                         "the measured serving sweet spot)")

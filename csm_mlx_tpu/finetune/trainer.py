@@ -456,14 +456,25 @@ class CSMTrainer:
             )
 
     # -- compiled step ---------------------------------------------------
+    def _step_consts(self):
+        """Extra pytree passed through the jitted step as a REAL argument.
+
+        Anything `_loss_fn` needs beyond (params, batch, rng) must ride
+        here, not a closure: closed-over arrays become jit *constants*,
+        which are serialized into every lowering — KTO's frozen reference
+        params captured this way cost 3.1 GB of constants per compile
+        (minutes of remote-tunnel traffic on axon). Keys become keyword
+        arguments of `_loss_fn`."""
+        return {}
+
     def _build_step(self):
         optimizer = self.optimizer
         max_norm = self.args.max_norm
         loss_fn = self._loss_fn
 
-        def step(params, opt_state, batch, rng):
+        def step(params, opt_state, batch, rng, consts):
             loss, grads = jax.value_and_grad(
-                lambda p: loss_fn(p, batch, rng)
+                lambda p: loss_fn(p, batch, rng, **consts)
             )(params)
             if max_norm > 0:
                 gnorm = optax.global_norm(grads)
@@ -529,7 +540,7 @@ class CSMTrainer:
         self._rng, sub = jax.random.split(self._rng)
         params, opt_state, loss, _ = self._step_fn(
             self.model.params, self.opt_state_ref["opt_state"],
-            self._prepare_batch(batch), sub,
+            self._prepare_batch(batch), sub, self._step_consts(),
         )
         self.model.params = params
         self.opt_state_ref["opt_state"] = opt_state
@@ -702,8 +713,11 @@ class KTOTrainer(CSMTrainer):
         self.desirable_weight = args.desirable_weight
         self.undesirable_weight = args.undesirable_weight
         self.reference_model = args.reference_model
-        # The frozen reference's params enter _loss_fn as jit constants, so
-        # they must carry the same placement as the policy params: under
+        # The frozen reference's params ride the jitted step as an argument
+        # (_step_consts — NOT closure constants, which would serialize 3 GB
+        # into every lowering), so the committed placement below is what the
+        # compiled program sees. They must carry the same placement as the
+        # policy params: under
         # FSDP an unsharded copy would otherwise replicate onto every chip
         # and claw back most of ZeRO-3's memory saving. NOTE: like the
         # policy model, the caller's CSM object is re-placed IN PLACE (the
@@ -721,11 +735,16 @@ class KTOTrainer(CSMTrainer):
                 self.reference_model.params = jax.device_put(
                     self.reference_model.params, NamedSharding(args.mesh, P()))
 
-    def _loss_fn(self, params, batch, rng):
+    def _step_consts(self):
+        # The frozen reference params ride the jitted step as an argument:
+        # captured as closure constants they serialize 3.1 GB into every
+        # lowering (see CSMTrainer._step_consts).
+        return {"ref_params": self.reference_model.params}
+
+    def _loss_fn(self, params, batch, rng, ref_params):
         args = self.model.args
         fcw = self.args.first_codebook_weight_multiplier
         remat = self.args.gradient_checkpointing
-        ref_params = self.reference_model.params
         core = {"tokens": batch["tokens"], "masks": batch["masks"],
                 "loss_masks": batch["loss_masks"]}
 

@@ -87,7 +87,7 @@ class TTSServer:
         self,
         model,
         *,
-        max_batch: int = 48,
+        max_batch: int = 64,
         max_wait_ms: float = 30.0,
         max_audio_length_ms: float = 30_000,
         temperature: float = 0.8,
@@ -98,11 +98,13 @@ class TTSServer:
         max_pending: Optional[int] = None,
     ):
         """`max_batch` defaults to the resident decoder kernel's per-call
-        VMEM cap (48) — the measured serving sweet spot (PERFORMANCE.md:
-        150x end-to-end at 48 vs 118x at 16 vs 79x at 96, where one huge
-        batch loses the 2-deep compute/transfer pipeline). It only binds
-        under load: light traffic still runs small batches after
-        `max_wait_ms`.
+        VMEM cap (64 since round 5; bench.py lockstep aggregate measured
+        +11.4% at B=64 over 48, PERFORMANCE.md round-5). Past the cap a
+        batch chunks into multiple kernel calls and stays at the aggregate
+        plateau (the round-2 sweep read 79x at 96 vs 150x at 48 end-to-end,
+        where one huge batch loses the 2-deep compute/transfer pipeline).
+        It only binds under load: light traffic still runs small batches
+        after `max_wait_ms`.
 
         `transfer="int16"` converts waveforms to 16-bit PCM ON DEVICE and
         transfers that (half the device->host bytes — significant through
@@ -321,7 +323,7 @@ class TTSServer:
         while target < len(texts):
             target *= 2
         # Clamp to max_batch. Batches past the resident decoder kernel's
-        # per-call VMEM cap (48) chunk into multiple kernel calls and stay
+        # per-call VMEM cap (64) chunk into multiple kernel calls and stay
         # at the ~500x aggregate plateau (PERFORMANCE.md), so max_batch is
         # purely a latency/HBM admission bound, not a kernel cliff.
         target = min(target, self.max_batch)
